@@ -1,0 +1,97 @@
+"""Per-host politeness, robots filtering and crawl budgets.
+
+The reference rate-limits with a flat ``await asyncio.sleep(delay)``
+before every fetch (``crawler/discovery.py:34,203`` = 1.5s,
+``crawler/extraction.py:28,199`` = 1.0s) — at its single host that is
+exactly "crawl-delay = delay seconds". Distributed, a global sleep
+over-serializes distinct hosts, so the engine instead:
+
+* admits at most ``floor(round_seconds / crawl_delay(host))`` URLs per
+  host per round (same per-host rate guarantee, parallel across hosts);
+* assigns each admitted row a virtual fetch slot
+  ``fetch_ts = round_start + slot * crawl_delay`` and asserts the
+  north_star's window-over-host invariant:
+  ``fetch_ts - lag(fetch_ts) OVER (PARTITION BY host ORDER BY fetch_ts)
+  >= crawl_delay``.
+
+robots.txt has no reference analog (north_rule scale-up): a broadcast
+join on host + array-prefix disallow filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ccr_web_crawler_spark.functions.urlnorm import url_path
+
+DEFAULT_CRAWL_DELAY = 1.5  # reference discovery delay (crawler/discovery.py:34)
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop frontier rows disallowed by robots; attach ``crawl_delay``.
+
+    ``robots(host, disallow_prefixes array<string>, crawl_delay double)``
+    is a small per-host dim — broadcast. Unlisted hosts are allowed with
+    the default delay (the reference crawls with only a UA string,
+    ``crawler/discovery.py:37``).
+    """
+    if robots is None:
+        return frontier.withColumn("crawl_delay", F.lit(DEFAULT_CRAWL_DELAY))
+    joined = frontier.join(F.broadcast(robots), "host", "left")
+    path = url_path(F.col("url_canon"))
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return (
+        joined.filter(~disallowed)
+        .withColumn("crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY)))
+        .drop("disallow_prefixes")
+    )
+
+
+def admit_per_host(
+    frontier: DataFrame,
+    round_seconds: float | None,
+    order_cols: tuple[str, ...] = ("depth", "seq"),
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (admitted, deferred) by per-host budget.
+
+    Budget = floor(round_seconds / crawl_delay) per host; ``None`` admits
+    everything (level-synchronous BFS — the equivalence-test shape).
+    Priority within a host is BFS order (reference pop order,
+    ``crawler/discovery.py:279``).
+    """
+    if round_seconds is None:
+        return frontier, frontier.limit(0)
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in order_cols])
+    budget = F.greatest(
+        F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
+    )
+    ranked = frontier.withColumn("__rk", F.row_number().over(w))
+    admitted = ranked.filter(F.col("__rk") <= budget).drop("__rk")
+    deferred = ranked.filter(F.col("__rk") > budget).drop("__rk")
+    return admitted, deferred
+
+
+def assign_fetch_slots(admitted: DataFrame, round_start: float = 0.0) -> DataFrame:
+    """Virtual per-host fetch schedule honoring crawl_delay."""
+    w = Window.partitionBy("host").orderBy("depth", "seq")
+    slot = F.row_number().over(w) - F.lit(1)
+    return admitted.withColumn(
+        "fetch_ts", F.lit(round_start) + slot * F.col("crawl_delay")
+    )
+
+
+def politeness_violations(scheduled: DataFrame) -> DataFrame:
+    """Rows violating the lag-window invariant (must be empty).
+
+    north_star: "crawl-delay enforced via window-over-host lag".
+    """
+    w = Window.partitionBy("host").orderBy("fetch_ts")
+    prev = F.lag("fetch_ts").over(w)
+    return scheduled.withColumn("__prev", prev).filter(
+        F.col("__prev").isNotNull()
+        & (F.col("fetch_ts") - F.col("__prev") < F.col("crawl_delay"))
+    )

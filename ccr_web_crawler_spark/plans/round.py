@@ -1,0 +1,228 @@
+"""One crawl round as a pure DataFrame → DataFrames function.
+
+The Spark re-expression of the reference's while-loop body
+(``crawler/discovery.py:275-299``) fused with the extraction phase
+(``crawler/extraction.py:215-267``):
+
+    frontier ──dedupe──► anti-join seen ──admit (robots+politeness)──►
+    fetch (join pages) ──extract_links UDF──► classify ──►
+       nav   → next frontier (deterministic seq)
+       doc   → discovered (anti-join, crawl-ordered seq) → fetch →
+               extract_sections → extracted / failures
+
+Scale notes (the 1000-executor story):
+* the only shuffles are: seen anti-join (bucket-keyed, Bloom-prefiltered
+  so only suspects shuffle), the per-host admit window (partitioned by
+  host — salted hosts would split here), the fetch join (keyed on
+  url_canon; `pages` bucketed by the same key in production makes it
+  co-located), and the two global seq sorts (range-partitioned,
+  no single-task window);
+* `pages.html` is only read in the fetch projections — column pruning
+  keeps the binary column out of every other scan;
+* per-page link dedup happens inside the UDF before explode (shrink
+  early, reference ``crawler/discovery.py:120``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ccr_web_crawler_spark.functions.htmlx.udfs import (
+    extract_sections,
+    make_extract_links_udf,
+)
+from ccr_web_crawler_spark.functions.urlnorm import (
+    is_navigation_url,
+    is_section_url,
+    url_host_udf,
+)
+from ccr_web_crawler_spark.operators.ids import assign_global_seq
+from ccr_web_crawler_spark.operators.politeness import admit_per_host, apply_robots
+from ccr_web_crawler_spark.operators.seen import anti_join_seen, build_bloom, with_seen_keys
+
+FRONTIER_COLS = ["url_canon", "host", "depth", "parent", "seq", "attempt", "round"]
+DISCOVERED_COLS = ["url_canon", "depth", "seq"]
+
+
+@dataclass
+class RoundConfig:
+    scope_substring: str = "/calregs/"
+    mode: str = "compat"  # canonicalization mode
+    round_seconds: float | None = None  # None → admit whole frontier
+    n_buckets: int = 64
+    bloom_bits: int = 1 << 17
+    bloom_k: int = 5
+    use_bloom: bool = True
+    max_attempts: int = 3
+    extract: bool = True  # run the extraction stage on new discoveries
+    seq_partitions: int | None = None
+
+
+@dataclass
+class RoundResult:
+    next_frontier: DataFrame
+    new_seen: DataFrame
+    new_discovered: DataFrame
+    extracted: DataFrame | None
+    failures: DataFrame | None
+    stats: dict
+
+
+def _dedupe_frontier(frontier: DataFrame) -> DataFrame:
+    """Pop-time duplicate drop (reference ``crawler/discovery.py:277-283``):
+    first-queued copy — min (depth, seq) — wins."""
+    s = F.min(F.struct("depth", "seq", "host", "parent", "attempt", "round")).alias("s")
+    return (
+        frontier.groupBy("url_canon")
+        .agg(s)
+        .select("url_canon", "s.host", "s.depth", "s.parent", "s.seq", "s.attempt", "s.round")
+    )
+
+
+def run_round(
+    spark,
+    round_no: int,
+    frontier: DataFrame,
+    seen: DataFrame | None,
+    discovered: DataFrame | None,
+    extracted_urls: DataFrame | None,
+    pages: DataFrame,
+    robots: DataFrame | None,
+    cfg: RoundConfig,
+    seen_count: int | None = None,
+    max_seq: dict | None = None,
+) -> RoundResult:
+    max_seq = max_seq or {}
+    extract_links_udf = make_extract_links_udf(cfg.scope_substring, cfg.mode)
+
+    # 1. dedupe queued copies, drop already-visited (Bloom-prefiltered
+    #    exact anti-join), admit per-host politeness budget
+    candidates = _dedupe_frontier(frontier)
+    bloom = None
+    if seen is not None and cfg.use_bloom:
+        bloom = build_bloom(seen, cfg.bloom_bits, cfg.bloom_k)
+    unseen = anti_join_seen(
+        candidates, seen, bloom, "url_canon", cfg.n_buckets, cfg.bloom_bits, cfg.bloom_k
+    )
+    unseen = apply_robots(unseen, robots)
+    admitted, deferred = admit_per_host(unseen, cfg.round_seconds)
+    admitted = admitted.localCheckpoint(eager=False)
+
+    # 2. mark visited-at-pop (reference marks BEFORE fetch outcome,
+    #    ``crawler/discovery.py:281``)
+    new_seen = with_seen_keys(
+        admitted.select("url_canon"), "url_canon", cfg.n_buckets
+    ).withColumn("first_round", F.lit(round_no))
+
+    # 3. fetch = join against the pages table (the sandbox "web");
+    #    project ONLY (url, html) so the binary column never rides along
+    fetched = admitted.join(
+        pages.select(F.col("url").alias("url_canon"), "html"), "url_canon", "left"
+    )
+
+    # 4. link extraction (document order preserved via posexplode)
+    links = (
+        fetched.filter(F.col("html").isNotNull())
+        .select(
+            F.col("url_canon").alias("parent"),
+            F.col("depth"),
+            F.col("seq").alias("parent_seq"),
+            F.posexplode(extract_links_udf(F.col("html"), F.col("url_canon"))).alias(
+                "link_pos", "link"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    nav_links = links.filter(is_navigation_url(F.col("link")))
+    doc_links = links.filter(is_section_url(F.col("link")))
+
+    # 5. next frontier: deferred rows keep their seq (queue order);
+    #    new nav links are sequenced after the current max
+    nav_candidates = (
+        nav_links.groupBy("link")
+        .agg(F.min(F.struct("depth", "parent_seq", "link_pos", "parent")).alias("s"))
+        .select(
+            F.col("link").alias("url_canon"),
+            (F.col("s.depth") + 1).alias("depth"),
+            F.col("s.parent_seq").alias("parent_seq"),
+            F.col("s.link_pos").alias("link_pos"),
+            F.col("s.parent").alias("parent"),
+        )
+    )
+    nav_new = assign_global_seq(
+        nav_candidates,
+        ["depth", "parent_seq", "link_pos"],
+        "seq",
+        offset=max_seq.get("frontier", 0),
+        num_partitions=cfg.seq_partitions,
+    ).select(
+        "url_canon",
+        url_host_udf(F.col("url_canon")).alias("host"),
+        "depth",
+        "parent",
+        "seq",
+        F.lit(0).alias("attempt"),
+        F.lit(round_no + 1).alias("round"),
+    )
+    next_frontier = deferred.select(*FRONTIER_COLS).unionByName(nav_new)
+
+    # 6. discovered sections: first-discovery order is crawl order
+    #    (reference ``crawler/discovery.py:246-248``)
+    doc_candidates = (
+        doc_links.groupBy("link")
+        .agg(F.min(F.struct("depth", "parent_seq", "link_pos")).alias("s"))
+        .select(
+            F.col("link").alias("url_canon"),
+            (F.col("s.depth") + 1).alias("depth"),
+            F.col("s.parent_seq").alias("parent_seq"),
+            F.col("s.link_pos").alias("link_pos"),
+        )
+    )
+    if discovered is not None:
+        doc_candidates = doc_candidates.join(
+            discovered.select("url_canon"), "url_canon", "left_anti"
+        )
+    new_discovered = assign_global_seq(
+        doc_candidates,
+        ["depth", "parent_seq", "link_pos"],
+        "seq",
+        offset=max_seq.get("discovered", 0),
+        num_partitions=cfg.seq_partitions,
+    ).select(*DISCOVERED_COLS)
+
+    # 7. extraction stage over this round's new discoveries
+    #    (reference phase 2, ``crawler/extraction.py:215-267``; resume
+    #    semantics = anti-join on url, strictly safer than the
+    #    reference's positional line-count skip ``:193-196``)
+    extracted_df = failures_df = None
+    if cfg.extract:
+        worklist = new_discovered.select("url_canon")
+        if extracted_urls is not None:
+            worklist = worklist.join(extracted_urls, "url_canon", "left_anti")
+        doc_pages = worklist.join(
+            pages.select(F.col("url").alias("url_canon"), "html"), "url_canon", "left"
+        )
+        extracted_df = extract_sections(doc_pages, "url_canon", "html").localCheckpoint(
+            eager=False
+        )
+        failures_df = extracted_df.filter(
+            F.col("extraction_status") != "success"
+        ).select(
+            F.col("url").alias("url"),
+            F.col("extraction_status").alias("status"),
+            F.col("extraction_note").alias("note"),
+            F.lit(round_no).alias("round"),
+        )
+
+    return RoundResult(
+        next_frontier=next_frontier,
+        new_seen=new_seen,
+        new_discovered=new_discovered,
+        extracted=extracted_df,
+        failures=failures_df,
+        stats={"round": round_no},
+    )

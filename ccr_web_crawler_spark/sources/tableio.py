@@ -1,0 +1,126 @@
+"""Snapshot-manifest Parquet tables — Iceberg-style semantics on plain
+files (this sandbox has no Iceberg runtime jars; swap ``SnapshotStore``
+for an Iceberg catalog in production — the driver loop programs only
+against this interface).
+
+Replaces the reference's three-file, non-atomic checkpoint
+(``crawler/discovery.py:123-155``: queue_state.json + visited_urls.txt +
+discovered_urls.txt written sequentially — a crash between writes tears
+state). Here one crawl round = ONE atomic commit:
+
+* data files for every table are written first
+  (``data/<table>/v<version>/part-*.parquet``);
+* a JSON manifest listing the *cumulative* file set per table (append
+  tables accumulate files; replace tables point only at their newest
+  version) plus per-partition lineage (file → row count) is renamed
+  into place (``os.replace`` is atomic on POSIX);
+* ``_current`` is then atomically repointed.
+
+A crash at any point leaves ``_current`` on the previous consistent
+snapshot; orphaned data directories are unreferenced and harmless.
+Time travel = read any older manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables that grow by appending deltas vs. tables replaced wholesale
+# each round (the frontier is the mutable working set).
+APPEND = "append"
+REPLACE = "replace"
+
+
+class SnapshotStore:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------- state
+    @property
+    def _current_file(self) -> Path:
+        return self.root / "_current"
+
+    def current_version(self) -> int | None:
+        try:
+            return int(self._current_file.read_text().strip())
+        except FileNotFoundError:
+            return None
+
+    def manifest(self, version: int | None = None) -> dict | None:
+        version = self.current_version() if version is None else version
+        if version is None:
+            return None
+        path = self.root / "snapshots" / f"v{version:06d}.json"
+        return json.loads(path.read_text())
+
+    # ------------------------------------------------------------- read
+    def read(self, spark: SparkSession, table: str, version: int | None = None) -> DataFrame | None:
+        m = self.manifest(version)
+        if m is None or table not in m["tables"] or not m["tables"][table]["files"]:
+            return None
+        files = [str(self.root / f) for f in m["tables"][table]["files"]]
+        return spark.read.parquet(*files)
+
+    # ------------------------------------------------------------ commit
+    def commit(
+        self,
+        round_no: int,
+        tables: dict[str, tuple[DataFrame, str]],
+        metrics: dict | None = None,
+    ) -> int:
+        """Atomically commit one round. ``tables`` maps name →
+        (DataFrame, APPEND|REPLACE). Empty DataFrames are recorded with
+        no files (cheap no-op deltas)."""
+        prev = self.manifest() or {"tables": {}}
+        version = (self.current_version() or 0) + 1
+        new_tables: dict[str, dict] = {
+            k: {"files": list(v["files"]), "lineage": dict(v.get("lineage", {}))}
+            for k, v in prev["tables"].items()
+        }
+        for name, (df, mode) in tables.items():
+            rel_dir = f"data/{name}/v{version:06d}-{uuid.uuid4().hex[:8]}"
+            out_dir = self.root / rel_dir
+            df.write.mode("overwrite").parquet(str(out_dir))
+            files, lineage = [], {}
+            for p in sorted(out_dir.glob("*.parquet")):
+                rel = f"{rel_dir}/{p.name}"
+                files.append(rel)
+                lineage[rel] = {"round": round_no}
+            entry = new_tables.get(name, {"files": [], "lineage": {}})
+            if mode == REPLACE:
+                entry = {"files": files, "lineage": lineage}
+            else:
+                entry["files"] = entry["files"] + files
+                entry["lineage"].update(lineage)
+            new_tables[name] = entry
+
+        manifest = {
+            "version": version,
+            "round": round_no,
+            "parent": prev.get("version"),
+            "committed_at": time.time(),
+            "tables": new_tables,
+            "metrics": metrics or {},
+        }
+        snap = self.root / "snapshots" / f"v{version:06d}.json"
+        tmp = snap.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, snap)  # atomic
+        tmp2 = self._current_file.with_suffix(".tmp")
+        tmp2.write_text(str(version))
+        os.replace(tmp2, self._current_file)  # atomic pointer swing
+        return version
+
+    def history(self) -> list[dict]:
+        out = []
+        for p in sorted((self.root / "snapshots").glob("v*.json")):
+            out.append(json.loads(p.read_text()))
+        return out
