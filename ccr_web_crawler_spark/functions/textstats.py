@@ -1,0 +1,88 @@
+"""Text analysis for large-scale corpus pipelines — language-ID,
+quality scoring, token counting, fingerprinting. All pure JVM Column
+expressions (whole-stage-codegen friendly; zero Python in the hot
+path), so every one of them is also expressible as oracle SQL.
+
+These are the scale-up text operators a 100TB training-data pipeline
+needs on top of the reference's extraction (which only produces text:
+``crawler/extraction.py:126-134``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for")
+ES_STOPWORDS = ("el", "la", "de", "que", "los", "las", "una", "por")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty → empty array)."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_match_count(text: Column, words: tuple[str, ...]) -> Column:
+    """Count of whole-word occurrences of any of *words* (case-insens.)."""
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.coalesce(
+        F.size(F.split(F.lower(text), pat)) - 1, F.lit(0)
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free stopword-vote language ID: 'en' | 'es' | 'und'."""
+    en = word_match_count(text, EN_STOPWORDS)
+    es = word_match_count(text, ES_STOPWORDS)
+    return (
+        F.when((en == 0) & (es == 0), F.lit("und"))
+        .when(en >= es, F.lit("en"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped) / F.length(text)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        word_match_count(text, EN_STOPWORDS) / n
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic doc-quality: length band + stopword presence −
+    punctuation excess. Deliberately simple & fully SQL-expressible."""
+    n_tok = token_count(text)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) >= 0.05, F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    return F.round(length_ok + stop_ok + punct_ok, 2)
+
+
+def normalize_ws(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable 128-bit content fingerprint of whitespace/case-normalized
+    text (md5 hex — portable to any engine)."""
+    return F.md5(normalize_ws(text))
+
+
+def hash64_portable(s: Column) -> Column:
+    """60-bit deterministic hash computable identically in Spark and
+    DuckDB (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), for
+    cross-engine-checkable hashing (simhash, salting oracles)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,338 @@
+"""Deduplication for web-scale corpora — exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup.
+
+The reference dedupes only exact URLs (``crawler/discovery.py:277-283``)
+and validates duplicate URLs (``scripts/validate_data.py:26-30``);
+content-level dedup is the standard scale-up for a training-data
+pipeline over the crawl output.
+
+Design rules at 10^10 rows:
+* candidate generation NEVER compares all pairs — LSH banding (MinHash)
+  or Hamming-bucket joins (SimHash) produce candidates, then exact
+  verification runs only inside buckets;
+* everything hash-based uses deterministic, engine-portable hashes so
+  results are reproducible and oracle-checkable;
+* JVM-native expressions wherever the semantics allow (tokenize,
+  shingle, group, join); numpy-vectorized pandas UDFs only for the
+  signature math.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ccr_web_crawler_spark.functions.textstats import fingerprint, normalize_ws
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-equal (after ws/case normalization) docs:
+    fingerprint → members + count. One shuffle on the fingerprint."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each fingerprint group."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def word_shingles(text_col, n: int = 3):
+    """n-word shingles as a native Column (distinct, order-free set)."""
+    words = F.filter(F.split(normalize_ws(text_col), " "), lambda w: w != "")
+    k = F.size(words) - (n - 1)
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+
+def _minhash_params(n_hashes: int, seed: int = 1):
+    rng = np.random.RandomState(seed)
+    p = (1 << 61) - 1  # Mersenne prime
+    a = rng.randint(1, p, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, p, size=n_hashes, dtype=np.int64)
+    return a, b, p
+
+
+def make_minhash_udf(n_hashes: int = 64, seed: int = 1):
+    """array<string> shingles → array<long> minhash signature.
+    Base hash = crc32 (deterministic across processes/versions)."""
+    a, b, p = _minhash_params(n_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for shingle_lists in batches:
+            out = []
+            for shingles in shingle_lists:
+                if shingles is None or len(shingles) == 0:
+                    out.append([0] * n_hashes)
+                    continue
+                base = np.array(
+                    [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.int64
+                )
+                # (a*h + b) mod p, min over shingles, vectorized
+                sig = ((a[None, :] * base[:, None] + b[None, :]) % p).min(axis=0)
+                out.append(sig.tolist())
+            yield pd.Series(out)
+
+    return _minhash
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    seed: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard, jaccard).
+
+    shingle → minhash → band → bucket-join (candidates only) → exact
+    shingle-set Jaccard verification. ``n_bands`` bands of
+    ``n_hashes/n_bands`` rows ⇒ S-curve threshold ≈ (1/b)^(1/r)."""
+    rows_per_band = n_hashes // n_bands
+    minhash = make_minhash_udf(n_hashes, seed)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("sig", minhash(F.col("shingles")))
+    docs = docs.localCheckpoint(eager=False)
+
+    bands = docs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.hash(F.concat_ws("_", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), F.col("sig").alias("sig_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = matches / F.lit(n_hashes)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+def make_simhash_udf(n_bits: int = 64):
+    """array<string> tokens → simhash long (crc32 token hashes → ±1 bit
+    votes → sign). Vectorized numpy; deterministic."""
+
+    @pandas_udf(LongType())
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bit_idx = np.arange(n_bits, dtype=np.uint64)
+        for token_lists in batches:
+            out = []
+            for toks in token_lists:
+                if toks is None or len(toks) == 0:
+                    out.append(0)
+                    continue
+                h32 = np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+                # widen to 64 bits deterministically
+                h64 = h32 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+                bits = (h64[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                votes = np.where(bits == 1, 1, -1).sum(axis=0)
+                val = 0
+                for i in range(n_bits):
+                    if votes[i] > 0:
+                        val |= 1 << i
+                out.append(val - (1 << 64) if val >= 1 << 63 else val)
+            yield pd.Series(out, dtype="int64")
+
+    return _simhash
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via the Charikar block trick: split the
+    64-bit hash into ``n_blocks``; any pair within ``max_hamming <
+    n_blocks`` shares ≥1 exact block → bucket-join on (block_idx,
+    block_value), verify Hamming distance exactly."""
+    simhash = make_simhash_udf()
+    toks = F.split(normalize_ws(F.col(text_col)), " ")
+    docs = df.select(F.col(id_col).alias("id"), simhash(toks).alias("sh")).localCheckpoint(
+        eager=False
+    )
+    bits_per_block = 64 // n_blocks
+    mask = (1 << bits_per_block) - 1
+    blocks = docs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright("sh", i * bits_per_block).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("id", "sh", "b.blk", "b.val")
+    cand = (
+        blocks.alias("l")
+        .join(blocks.alias("r"), ["blk", "val"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over all pairs sharing ≥1 shingle —
+    JVM-native end to end (explode → self-join on shingle → count),
+    fully SQL-expressible (the DuckDB oracle runs the same algebra)."""
+    docs = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = docs.select("id", F.size("sh").alias("n_sh"))
+    ex = docs.select("id", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("l")
+        .join(ex.alias("r"), "s")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int = 384,
+    use_lsh: bool = True,
+    n_bits: int = 16,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. LSH band-join candidates at scale;
+    set ``use_lsh=False`` for the exact (quadratic) small-N check."""
+    from ccr_web_crawler_spark.functions.embed import cosine
+    from ccr_web_crawler_spark.operators.similarity import make_signature_udf
+
+    docs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if use_lsh:
+        sig = make_signature_udf(dim, n_bits, n_bands)
+        banded = docs.withColumn("band", F.explode(sig(F.col("v"))))
+        cand = (
+            banded.alias("l")
+            .join(banded.alias("r"), "band")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.v").alias("va"),
+                F.col("r.v").alias("vb"),
+            )
+            .distinct()
+        )
+    else:
+        cand = (
+            docs.alias("l")
+            .join(docs.alias("r"), F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.v").alias("va"),
+                F.col("r.v").alias("vb"),
+            )
+        )
+    return cand.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,99 @@
+"""Similarity search + vector-index build/retrieval parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccr_web_crawler_spark.functions.embed import cosine, encode_texts
+from ccr_web_crawler_spark.operators.index import build_index, merge_upsert, search
+from ccr_web_crawler_spark.operators.similarity import cosine_topk, knn_join, lsh_ann
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    rows = embeddings.collect()
+    q = rows[0].embedding
+    got = cosine_topk(embeddings, q, k=8).collect()
+    mat = np.array([r.embedding for r in rows])
+    qv = np.array(q)
+    scores = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(-scores.round(4), [r.vec_id for r in rows]))[:8]
+    assert [r.vec_id for r in got] == [vid for _, vid in order]
+    assert got[0].vec_id == rows[0].vec_id and got[0].score == 1.0
+
+
+def test_knn_join_per_query(spark, embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_join(queries, embeddings, k=5)
+    per_q = {r.q_id: r.cnt for r in out.groupBy("q_id").agg(F.count("*").alias("cnt")).collect()}
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 3
+    # self is always rank 1
+    self_rows = out.filter(F.col("rank") == 1).collect()
+    assert all(r.q_id == r.vec_id for r in self_rows)
+
+
+def test_lsh_ann_recall_against_bruteforce(spark, embeddings):
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = knn_join(queries, embeddings, k=5)
+    approx = lsh_ann(queries, embeddings, k=5, dim=None, n_bits=16, n_bands=8)
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # self-match always found (identical vector shares all bands)
+    assert all((q, q) in a for q in range(5) if (q, q) in e)
+
+
+HIER = {"title": "Title 17. X", "division": "Division 4. Y", "chapter": None,
+        "subchapter": "Subchapter 9. SKIPME", "article": "Article 1. Z"}
+
+
+def _extracted(spark):
+    rows = [
+        ("u1", "§ 1", "One.", "1 CCR § 1", HIER, "body text one " * 10, "success"),
+        ("u2", "§ 2", None, None, {k: None for k in HIER}, "body two", "success"),
+        ("u1", "§ 1", "One.", "1 CCR § 1", HIER, "body text one " * 10, "success"),  # dup url
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url string, section_number string, section_title string, citation_short string, "
+        "hierarchy struct<title:string,division:string,chapter:string,subchapter:string,article:string>, "
+        "text_plain string, extraction_status string",
+    )
+
+
+def test_build_index_semantics(spark):
+    idx = build_index(_extracted(spark))
+    rows = {r.url: r for r in idx.collect()}
+    assert len(rows) == 2  # idempotent on url (ingest.py:74)
+    assert rows["u2"].meta.title == "Unknown"  # default (ingest.py:79)
+    assert len(rows["u1"].vec) == 384
+    # subchapter skipped in flatten → embedding differs from a version with it
+    assert "SKIPME" not in rows["u1"].meta.title
+
+
+def test_merge_upsert(spark):
+    idx = build_index(_extracted(spark))
+    newer = idx.filter(F.col("url") == "u1").withColumn(
+        "meta", F.struct(F.lit("NEW").alias("title"), F.lit("").alias("section"),
+                         F.lit("").alias("citation"), F.lit("").alias("content"))
+    )
+    merged = merge_upsert(idx, newer)
+    rows = {r.url: r.meta.title for r in merged.collect()}
+    assert rows["u1"] == "NEW" and "u2" in rows and len(rows) == 2
+
+
+def test_search_returns_relevant_topk(spark):
+    idx = build_index(_extracted(spark)).cache()
+    hits = search(idx, "body text one", top_k=8).collect()
+    assert len(hits) == 2
+    assert hits[0].url == "u1" and hits[0].score > hits[1].score
