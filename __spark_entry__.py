@@ -1,38 +1,806 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship corpus-curation pipeline on
+/root/testdata/sf0.001. ``queries()`` exposes one callable per
+implemented operator family from SURVEY.md §2 (+ the training-data
+scale-ups); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+every SQL-expressible one. Engine-native ops that SQL cannot express
+(MinHash/SimHash signatures, numpy LSH planes, the HTML-extraction
+crawl round, multimodal UDF plumbing) are registered without an oracle
+→ the driver records the weaker rows-only check; pytest pins their
+semantics instead (tests/).
+
+Cross-engine exactness rules used throughout (Spark vs DuckDB):
+* double sums are computed as ``CAST(SUM(CAST(x AS DECIMAL)) AS
+  DOUBLE)`` so results are bit-identical regardless of summation order;
+* ratios are single int/int divisions (identical IEEE result);
+* every LIMIT/top-k query carries a total-order tie-break;
+* aggregate counts are BIGINT on both sides (DuckDB int sums are cast).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccr_web_crawler_spark.functions import textstats as ts
+from ccr_web_crawler_spark.functions.embed import cosine
+from ccr_web_crawler_spark.functions.urlnorm import (
+    canonicalize_compat_udf,
+    canonicalize_full_udf,
+    url_host_udf,
+)
+from ccr_web_crawler_spark.operators import dedup
+from ccr_web_crawler_spark.operators.ids import assign_global_seq
+from ccr_web_crawler_spark.operators.index import embed_text_expr
+from ccr_web_crawler_spark.operators.politeness import admit_per_host, assign_fetch_slots
+from ccr_web_crawler_spark.operators.seen import anti_join_seen, build_bloom, with_seen_keys
+from ccr_web_crawler_spark.operators.similarity import cosine_topk, knn_join, lsh_ann
+from ccr_web_crawler_spark.operators.validate import validation_report
+from ccr_web_crawler_spark.streaming.events import sessionize
+
+# ------------------------------------------------------------------ inputs
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted exact duplicates (every 5th doc re-appears
+    under doc_id+100000) — gives the dedup operators real work with an
+    outcome both engines derive independently."""
+    d = _read(spark, sf_dir, "documents")
+    extra = d.filter((F.col("doc_id") % 5) == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(extra)
+
+
+_DOCS_DUP_SQL = (
+    "SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 5 = 0"
+)
+
+
+def _vecs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    extra = e.filter((F.col("vec_id") % 10) == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return e.unionByName(extra)
+
+
+_VECS_DUP_SQL = (
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 10 = 0"
+)
+
+# deterministic messy URL per doc — exercises scheme/host case, default
+# port, query order and fragment handling (SURVEY §2.4 URL normalization)
+def _url_expr() -> F.Column:
+    return F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example:443/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+_URL_FULL_SQL = (
+    "concat('https://host', (doc_id % 7)::VARCHAR, '.example/Path/', "
+    "doc_id::VARCHAR, '?a=1&b=2')"
+)
+_URL_COMPAT_SQL = (
+    "concat('https://Host', (doc_id % 7)::VARCHAR, '.Example:443/Path/', "
+    "doc_id::VARCHAR, '?b=2&a=1')"
+)
+
+_STOP_EN = "|".join(ts.EN_STOPWORDS)
+_STOP_ES = "|".join(ts.ES_STOPWORDS)
+
+
+def _dec_sum(col: F.Column, prec: str = "22,6") -> F.Column:
+    """Order-independent double sum: exact decimal accumulation."""
+    return F.sum(col.cast(f"decimal({prec})")).cast("double")
+
+
+# ------------------------------------------------------------------ queries
+# --- relational core (scan/filter/agg/join/sort/limit: SURVEY §2.3/2.6/2.7)
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    cnt = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "18,2").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "18,2").alias("sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.round(
+                _dec_sum(F.col("l_quantity"), "18,2") / cnt, 4
+            ).alias("avg_qty"),
+            F.round(_dec_sum(F.col("l_discount"), "18,2") / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(_dec_sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_REVENUE_SQL = """
+SELECT r_name, n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE), 2) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_users(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(_dec_sum(F.col("value"), "18,6"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+_TOP_USERS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+
+# --- windows / sessions / event-time (SURVEY §2.7, §2.9 scale-ups)
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30.0)
+    per = s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_ev"),
+        (F.max(F.unix_micros(F.col("ts").cast("timestamp"))) - F.min(F.unix_micros(F.col("ts").cast("timestamp")))).alias("span_us"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.round(F.sum("span_us").cast("double") / F.lit(1e6), 2).alias("total_span_s"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+), per AS (
+  SELECT user_id, session_no, COUNT(*) AS n_ev,
+    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+  FROM sessions GROUP BY user_id, session_no
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+  ROUND(CAST(SUM(span_us) AS DOUBLE) / 1e6, 2) AS total_span_s
+FROM per GROUP BY user_id
+"""
+
+
+def q_tumbling_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(_dec_sum(F.col("value"), "18,6"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- text analysis scale-ups (lang-ID, quality, tokens, fingerprint)
+
+
+def q_textstats(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count(t).cast("long").alias("n_tokens"),
+        ts.lang_id(t).alias("lang_guess"),
+        F.round(ts.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(ts.stopword_ratio(t), 4).alias("stopword_ratio"),
+        ts.quality_score(t).alias("quality"),
+        ts.fingerprint(t).alias("fp"),
+    )
+
+
+_TEXTSTATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+    len(regexp_split_to_array(lower(text), '(?i)\\b({_STOP_EN})\\b')) - 1 AS n_en,
+    len(regexp_split_to_array(lower(text), '(?i)\\b({_STOP_ES})\\b')) - 1 AS n_es
+  FROM documents
+)
+SELECT doc_id,
+  n_tok AS n_tokens,
+  CASE WHEN n_en = 0 AND n_es = 0 THEN 'und'
+       WHEN n_en >= n_es THEN 'en' ELSE 'es' END AS lang_guess,
+  ROUND(CASE WHEN length(text) = 0 THEN 0.0
+        ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) / length(text)
+        END, 4) AS punct_ratio,
+  ROUND(CASE WHEN n_tok = 0 THEN 0.0 ELSE n_en / n_tok END, 4) AS stopword_ratio,
+  ROUND(CAST(
+      (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)::DOUBLE
+    + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_en / n_tok END) >= 0.05
+            THEN 0.4 ELSE 0.0 END)::DOUBLE
+    + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+              ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) / length(text) END) <= 0.2
+            THEN 0.2 ELSE 0.0 END)::DOUBLE AS DOUBLE), 2) AS quality,
+  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM t
+"""
+
+
+# --- deduplication family (SURVEY §2.5 + training-data scale-ups)
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    groups = dedup.exact_duplicate_groups(_docs_with_dups(spark, sf_dir))
+    return groups.select(
+        "fp",
+        "n_docs",
+        F.array_min("doc_ids").alias("min_doc"),
+        F.array_max("doc_ids").alias("max_doc"),
+    )
+
+
+_EXACT_GROUPS_SQL = f"""
+WITH docs AS ({_DOCS_DUP_SQL})
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM docs GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_exact_dedup_keep(spark, sf_dir):
+    return dedup.exact_dedup(_docs_with_dups(spark, sf_dir)).select("doc_id")
+
+
+_EXACT_KEEP_SQL = f"""
+WITH docs AS ({_DOCS_DUP_SQL})
+SELECT doc_id FROM docs
+QUALIFY row_number() OVER (
+  PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+  ORDER BY doc_id) = 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.jaccard_similar_pairs(
+        _read(spark, sf_dir, "documents"), n=2, threshold=0.5
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(
+      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), w -> w != '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) - 1 < 1 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(
+             range(1, greatest(len(ws) - 1, 1) + 1),
+             i -> concat_ws(' ', ws[i], ws[i + 1]))) END AS sh
+  FROM toks
+), sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    # crc32-based signatures aren't SQL-expressible → rows-only check;
+    # semantics pinned in tests/test_dedup.py against exact Jaccard.
+    return dedup.minhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), jaccard_threshold=0.8
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_duplicates(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return dedup.embedding_near_duplicates(
+        _vecs_with_dups(spark, sf_dir), vec_col="embedding", id_col="vec_id",
+        threshold=0.95, dim=64, use_lsh=False,
+    )
+
+
+_EMB_NEARDUP_SQL = f"""
+WITH e AS ({_VECS_DUP_SQL})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95
+"""
+
+
+# --- similarity search (SURVEY §2.8)
+
+
+def _vecs(spark, sf_dir):
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    items = _vecs(spark, sf_dir)
+    qv = items.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk(items, [float(x) for x in qv], k=8, id_col="vec_id")
+
+
+_COSINE_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND(list_dot_product(embedding::DOUBLE[], qv)
+    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       * sqrt(list_dot_product(qv, qv))), 4) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id LIMIT 8
+"""
+
+
+def q_knn_join(spark, sf_dir):
+    items = _vecs(spark, sf_dir)
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_join(queries, items, k=5, id_col="vec_id", vec_col="embedding")
+    return out.select("q_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+_KNN_JOIN_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, score,
+  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_lsh_ann(spark, sf_dir):
+    # numpy hyperplane signatures → rows-only; recall vs brute force is
+    # pinned in tests/test_similarity_index.py.
+    items = _vecs(spark, sf_dir)
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_ann(queries, items, k=5, id_col="vec_id", vec_col="embedding", dim=64)
+
+
+# --- crawl-engine primitives cross-checked relationally (SURVEY §2.4/2.5)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", _url_expr().alias("url"))
+    return d.select(
+        "doc_id",
+        canonicalize_compat_udf(F.col("url")).alias("url_compat"),
+        canonicalize_full_udf(F.col("url")).alias("url_full"),
+        url_host_udf(F.col("url")).alias("host"),
+    )
+
+
+_URL_CANON_SQL = f"""
+SELECT doc_id,
+  {_URL_COMPAT_SQL} AS url_compat,
+  {_URL_FULL_SQL} AS url_full,
+  concat('host', (doc_id % 7)::VARCHAR, '.example') AS host
+FROM documents
+"""
+
+
+def q_seen_antijoin(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", _url_expr().alias("url")
+    ).select("doc_id", canonicalize_full_udf(F.col("url")).alias("url_canon"))
+    seen = with_seen_keys(
+        d.filter(F.col("doc_id") % 2 == 0).select("url_canon"), n_buckets=16
+    ).withColumn("first_round", F.lit(0))
+    bloom = build_bloom(seen)
+    return anti_join_seen(d, seen, bloom, n_buckets=16).select("doc_id", "url_canon")
+
+
+_SEEN_ANTIJOIN_SQL = f"""
+SELECT doc_id, {_URL_FULL_SQL} AS url_canon
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def q_global_seq(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return assign_global_seq(d, ["n_chars", "doc_id"], "seq", num_partitions=8)
+
+
+_GLOBAL_SEQ_SQL = """
+SELECT doc_id, n_chars,
+  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq
+FROM documents
+"""
+
+
+def _frontierish(spark, sf_dir):
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.lit(0).alias("depth"),
+        F.col("doc_id").alias("seq"),
+        F.when(F.col("source") == "src0", F.lit(2.0)).otherwise(F.lit(1.0)).alias("crawl_delay"),
+    )
+
+
+def q_politeness_admit(spark, sf_dir):
+    admitted, _ = admit_per_host(_frontierish(spark, sf_dir), 20.0, order_cols=("seq",))
+    return admitted.select("doc_id", "host")
+
+
+_POLITENESS_ADMIT_SQL = """
+SELECT doc_id, source AS host FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+  <= greatest(1, floor(20.0 / (CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END)))
+"""
+
+
+def q_politeness_slots(spark, sf_dir):
+    out = assign_fetch_slots(_frontierish(spark, sf_dir), round_start=0.0)
+    return out.select("doc_id", "host", "fetch_ts")
+
+
+_POLITENESS_SLOTS_SQL = """
+SELECT doc_id, source AS host,
+  (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+    * (CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END)::DOUBLE AS fetch_ts
+FROM documents
+"""
+
+
+# --- validation report (reference scripts/validate_data.py)
+
+
+def _validation_records(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        (F.col("doc_id") % 450).cast("string").alias("url"),
+        F.nullif(F.col("source"), F.lit("src3")).alias("section_title"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(""))
+        .when(F.col("doc_id") % 89 == 0, F.lit("tiny"))
+        .otherwise(F.col("text"))
+        .alias("text_html"),
+        F.when(F.col("doc_id") % 50 == 17, F.lit("external_redirect"))
+        .otherwise(F.lit("success"))
+        .alias("extraction_status"),
+    )
+
+
+def q_validate_report(spark, sf_dir):
+    return validation_report(_validation_records(spark, sf_dir))
+
+
+_VALIDATE_SQL = """
+WITH rec AS (
+  SELECT (doc_id % 450)::VARCHAR AS url,
+    nullif(source, 'src3') AS title,
+    CASE WHEN doc_id % 97 = 0 THEN ''
+         WHEN doc_id % 89 = 0 THEN 'tiny' ELSE text END AS text_html,
+    CASE WHEN doc_id % 50 = 17 THEN 'external_redirect' ELSE 'success' END AS status
+  FROM documents
+), flags AS (
+  SELECT url,
+    status = 'external_redirect' AS is_redirect,
+    title IS NULL OR title = '' AS missing_title,
+    NOT (status = 'external_redirect') AND (text_html IS NULL OR text_html = '') AS missing_text,
+    NOT (status = 'external_redirect') AND text_html IS NOT NULL AND text_html != ''
+      AND length(trim(text_html)) < 10 AS empty_text,
+    NOT (status = 'external_redirect') AND text_html IS NOT NULL AND text_html != ''
+      AND length(trim(text_html)) >= 10 AS valid
+  FROM rec
+)
+SELECT COUNT(*) AS total,
+  COUNT(DISTINCT url) AS unique_urls,
+  COUNT(*) - COUNT(DISTINCT url) AS duplicates,
+  CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+  CAST(SUM(CASE WHEN is_redirect THEN 1 ELSE 0 END) AS BIGINT) AS redirects,
+  CAST(SUM(CASE WHEN missing_title THEN 1 ELSE 0 END) AS BIGINT) AS missing_title,
+  CAST(SUM(CASE WHEN missing_text THEN 1 ELSE 0 END) AS BIGINT) AS missing_text,
+  CAST(SUM(CASE WHEN empty_text THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+  (CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)) > 0.99 AS healthy
+FROM flags
+"""
+
+
+# --- vector-index metadata assembly (reference indexer/ingest.py:53-84)
+
+
+def q_index_meta(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    hier = F.struct(
+        F.concat(F.lit("Title "), F.col("lang")).alias("title"),
+        F.nullif(F.concat(F.lit("Div "), F.col("source")), F.lit("Div src5")).alias("division"),
+        F.concat(F.lit("Ch "), (F.col("doc_id") % 7).cast("string")).alias("chapter"),
+        F.lit("Sub X").alias("subchapter"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("Art "), F.col("doc_id").cast("string"))).alias("article"),
+    )
+    title = F.when(F.col("doc_id") % 41 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("Topic "), F.col("doc_id").cast("string"))
+    )
+    citation = F.concat(F.col("source"), F.lit(" CCR "), F.col("doc_id").cast("string"))
+    section = F.concat(F.lit("S"), (F.col("doc_id") % 100).cast("string"))
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        embed_text_expr(title, citation, hier, F.col("text")).alias("embed_text"),
+        F.coalesce(F.substring(title, 1, 500), F.lit("Unknown")).alias("title"),
+        F.coalesce(F.substring(section, 1, 100), F.lit("")).alias("section"),
+        F.coalesce(F.substring(citation, 1, 200), F.lit("")).alias("citation"),
+        F.coalesce(F.substring(F.col("text"), 1, 1000), F.lit("")).alias("content"),
+    )
+
+
+_INDEX_META_SQL = """
+WITH src AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % 41 = 0 THEN NULL
+         ELSE concat('Topic ', doc_id::VARCHAR) END AS title,
+    concat(source, ' CCR ', doc_id::VARCHAR) AS citation,
+    concat('S', (doc_id % 100)::VARCHAR) AS section,
+    concat('Title ', lang) AS h_title,
+    nullif(concat('Div ', source), 'Div src5') AS h_division,
+    concat('Ch ', (doc_id % 7)::VARCHAR) AS h_chapter,
+    CASE WHEN doc_id % 3 = 0 THEN concat('Art ', doc_id::VARCHAR) END AS h_article
+  FROM documents
+)
+SELECT doc_id::VARCHAR AS url,
+  concat_ws(chr(10), coalesce(title, ''), coalesce(citation, ''),
+    concat_ws(' > ', h_title, h_division, h_chapter, h_article),
+    substr(coalesce(text, ''), 1, 2000)) AS embed_text,
+  coalesce(substr(title, 1, 500), 'Unknown') AS title,
+  coalesce(substr(section, 1, 100), '') AS section,
+  coalesce(substr(citation, 1, 200), '') AS citation,
+  coalesce(substr(text, 1, 1000), '') AS content
+FROM src
+"""
+
+
+# --- crawl engine end-to-end (rows-only: HTML extraction isn't SQL)
+
+
+def q_crawl_round0(spark, sf_dir):
+    """Seed → round 0 over the deterministic synthetic web: fetch-join,
+    link extraction, classification, section extraction. Rows-only here;
+    byte-identical text + BFS equivalence are pinned in tests/."""
+    from ccr_web_crawler_spark.plans.driver import init_frontier
+    from ccr_web_crawler_spark.plans.round import RoundConfig, run_round
+    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_seeds
+
+    pages = synth_pages(spark, n_pages=200, n_hosts=4)
+    cfg = RoundConfig(seq_partitions=4)
+    frontier = init_frontier(spark, synth_seeds(spark), cfg)
+    r = run_round(spark, 0, frontier, None, None, None, pages, None, cfg)
+    return r.next_frontier.select("url_canon", "host", "depth", "seq")
+
+
+def q_crawl_extracted(spark, sf_dir):
+    """Two full crawl rounds incl. extraction; returns section records."""
+    from ccr_web_crawler_spark.plans.driver import crawl
+    from ccr_web_crawler_spark.plans.round import RoundConfig
+    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_robots, synth_seeds
+    from ccr_web_crawler_spark.sources.tableio import SnapshotStore
+
+    pages = synth_pages(spark, n_pages=200, n_hosts=4)
+    with tempfile.TemporaryDirectory() as tmp:
+        store = SnapshotStore(os.path.join(tmp, "crawl"))
+        crawl(
+            spark, pages, synth_seeds(spark), store,
+            RoundConfig(seq_partitions=4), robots=synth_robots(spark, 4),
+            max_rounds=2,
+        )
+        ext = store.read(spark, "extracted")
+        out = ext.select("url", "guid", "section_number", "extraction_status", "text_plain")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp store
+    return out
+
+
+# --- multimodal plumbing (rows-only; libs stubbed per brief)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from ccr_web_crawler_spark.multimodal import image_features, synth_media
+
+    media = synth_media(spark, n=64)
+    return image_features(media)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from ccr_web_crawler_spark.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=32)
+    return sample_frames(media).select("media_id", "frame_idx", F.length("frame").alias("n_bytes"))
+
+
+# ------------------------------------------------------------------ contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus curation over /root/testdata/sf0.001 — text
+    quality + language + fingerprint, exact-dedup survivors joined with
+    their embedding-space nearest neighbor (the SURVEY §2 pipeline a
+    training-data consumer of the crawl would run)."""
+    sf_dir = "/root/testdata/sf0.001"
+    stats = q_textstats(spark, sf_dir)
+    keep = dedup.exact_dedup(_read(spark, sf_dir, "documents")).select("doc_id")
+    items = _vecs(spark, sf_dir)
+    queries = items.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    nn = (
+        knn_join(queries.limit(32), items, k=2, id_col="vec_id", vec_col="embedding")
+        .filter(F.col("rank") == 2)  # rank 1 is self
+        .select(F.col("q_id").alias("doc_id"), F.col("vec_id").alias("nn_id"),
+                F.col("score").alias("nn_score"))
+    )
+    return (
+        stats.join(keep, "doc_id")
+        .join(nn, "doc_id", "left")
+        .select("doc_id", "n_tokens", "lang_guess", "quality", "fp", "nn_id", "nn_score")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_users": q_top_users,
+        # windows / event-time
+        "sessionize": q_sessionize,
+        "tumbling_counts": q_tumbling_counts,
+        # text analysis
+        "textstats": q_textstats,
+        # dedup family
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_keep": q_exact_dedup_keep,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        # similarity search
+        "cosine_topk": q_cosine_topk,
+        "knn_join": q_knn_join,
+        "lsh_ann": q_lsh_ann,
+        # crawl primitives
+        "url_canonicalize": q_url_canonicalize,
+        "seen_antijoin": q_seen_antijoin,
+        "global_seq": q_global_seq,
+        "politeness_admit": q_politeness_admit,
+        "politeness_slots": q_politeness_slots,
+        "validate_report": q_validate_report,
+        "index_meta": q_index_meta,
+        # crawl end-to-end + multimodal (rows-only)
+        "crawl_round0": q_crawl_round0,
+        "crawl_extracted": q_crawl_extracted,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": _TPCH_Q1_SQL,
+        "revenue_by_nation": _REVENUE_SQL,
+        "top_users": _TOP_USERS_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "tumbling_counts": _TUMBLING_SQL,
+        "textstats": _TEXTSTATS_SQL,
+        "exact_dup_groups": _EXACT_GROUPS_SQL,
+        "exact_dedup_keep": _EXACT_KEEP_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "knn_join": _KNN_JOIN_SQL,
+        "url_canonicalize": _URL_CANON_SQL,
+        "seen_antijoin": _SEEN_ANTIJOIN_SQL,
+        "global_seq": _GLOBAL_SEQ_SQL,
+        "politeness_admit": _POLITENESS_ADMIT_SQL,
+        "politeness_slots": _POLITENESS_SLOTS_SQL,
+        "validate_report": _VALIDATE_SQL,
+        "index_meta": _INDEX_META_SQL,
+    }

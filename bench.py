@@ -1,0 +1,129 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Headline metric (BASELINE.json): pages fetched+extracted per second,
+measured by crawling a deterministic synthetic web (sized to the sf of
+``$SPARK_GRAFT_SF_DIR``) to frontier exhaustion — fetch = pages-table
+join, link extraction, classification, section extraction, snapshot
+commits — i.e. the full engine, not a microbenchmark. Also times the
+headline analytic queries from ``__spark_entry__`` at the same sf.
+
+Prints ONE JSON line:
+  {"metric": "pages_fetched_extracted_per_sec", "value": N,
+   "unit": "pages/sec", "queries": {...per-query sec...}, "sf": S,
+   "crawl": {...detail...}, "cpus": C}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_PAGES (override synthetic site size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def parse_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_crawl(spark, sf: float, cpus: int) -> dict:
+    from ccr_web_crawler_spark.plans.driver import crawl
+    from ccr_web_crawler_spark.plans.round import RoundConfig
+    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_seeds
+    from ccr_web_crawler_spark.sources.tableio import SnapshotStore
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", 0)) or max(
+        2000, int(200_000 * sf)
+    )
+    log(f"[bench] synthesizing {n_pages}-page web ...")
+    pages = synth_pages(spark, n_pages=n_pages, n_hosts=8, partitions=cpus)
+    pages = pages.localCheckpoint(eager=True)  # exclude synthesis from timing
+
+    cfg = RoundConfig(seq_partitions=max(4, cpus // 2))
+    with tempfile.TemporaryDirectory() as tmp:
+        store = SnapshotStore(os.path.join(tmp, "crawl"))
+        t0 = time.time()
+        summary = crawl(
+            spark, pages, synth_seeds(spark), store, cfg, max_rounds=32
+        )
+        wall = time.time() - t0
+    done = summary.visited + summary.extracted
+    return {
+        "n_pages": n_pages,
+        "rounds": summary.rounds,
+        "visited": summary.visited,
+        "discovered": summary.discovered,
+        "extracted": summary.extracted,
+        "failures": summary.failures,
+        "queue_remaining": summary.queue_remaining,
+        "wall_s": round(wall, 2),
+        "pages_per_sec": round(done / wall, 2),
+    }
+
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_users",
+    "sessionize",
+    "tumbling_counts",
+    "textstats",
+    "exact_dedup_keep",
+    "minhash_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "lsh_ann",
+    "seen_antijoin",
+    "global_seq",
+    "validate_report",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from ccr_web_crawler_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = parse_sf(sf_dir)
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    crawl_stats = bench_crawl(spark, sf, cpus)
+    log(f"[bench] crawl: {crawl_stats}")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        log(f"[bench] {name}: {timings[name]}s ({n} rows)")
+
+    out = {
+        "metric": "pages_fetched_extracted_per_sec",
+        "value": crawl_stats["pages_per_sec"],
+        "unit": "pages/sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl": crawl_stats,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -19,12 +19,12 @@ def sessionize(df: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     when the pause since the previous event exceeds the gap. Classic
     lag + running-sum; one shuffle on user_id."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_s = gap_minutes * 60.0
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    # exact integer-microsecond gap test (also TIMESTAMP_NTZ-safe)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     is_new = (
         F.when(F.lag("ts").over(w).isNull(), 1)
-        .when(
-            F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > gap_s, 1
-        )
+        .when(us - F.lag(us).over(w) > gap_us, 1)
         .otherwise(0)
     )
     return df.withColumn("session_no", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -35,7 +35,10 @@ def session_stats(df: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     s = sessionize(df, gap_minutes)
     per_session = s.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))).alias("span_s"),
+        (
+            (F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+             - F.min(F.unix_micros(F.col("ts").cast("timestamp")))) / F.lit(1e6)
+        ).alias("span_s"),
     )
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
