@@ -50,6 +50,14 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
     pages = pages.localCheckpoint(eager=True)  # exclude synthesis from timing
 
     cfg = RoundConfig(seq_partitions=max(4, cpus // 2))
+
+    # JVM/codegen warmup: one tiny crawl through the identical pipeline
+    # so the timed run measures the engine, not JIT compilation.
+    warm = synth_pages(spark, n_pages=100, n_hosts=2).localCheckpoint(eager=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        crawl(spark, warm, synth_seeds(spark), SnapshotStore(os.path.join(tmp, "w")),
+              cfg, max_rounds=3)
+    log("[bench] warmup done")
     with tempfile.TemporaryDirectory() as tmp:
         store = SnapshotStore(os.path.join(tmp, "crawl"))
         t0 = time.time()

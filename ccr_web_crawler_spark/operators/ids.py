@@ -41,7 +41,10 @@ def assign_global_seq(
     ranged = ranged.sortWithinPartitions(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning for both passes
+    # eager checkpoint: under AQE a lazy checkpoint can re-plan per
+    # action, so the counted offsets could disagree with the partitions
+    # mapInPandas later sees — pin the physical layout NOW.
+    ranged = ranged.localCheckpoint(eager=True)
     counts = {r["__pid"]: r["cnt"] for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
     running = offset

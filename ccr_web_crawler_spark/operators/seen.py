@@ -66,6 +66,28 @@ def build_bloom(seen: DataFrame, m_bits: int = 1 << 17, k: int = 5) -> DataFrame
     )
 
 
+def merge_blooms(old: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Bitwise-OR two bloom tables per bucket — the incremental path:
+    each round builds a bloom only over its NEW urls and ORs it into the
+    running filter (O(new + n_buckets) instead of re-hashing the whole
+    10^10-row seen set every round)."""
+    if old is None:
+        return delta
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["bits"]:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "bits": [acc.tobytes()]})
+
+    return (
+        old.unionByName(delta)
+        .groupBy("bucket")
+        .applyInPandas(_merge, schema="bucket int, bits binary")
+    )
+
+
 def bloom_maybe_contains(m_bits: int = 1 << 17, k: int = 5):
     """Pandas UDF ``(url_hash64, bits) -> bool`` (null bits → False:
     an absent bucket has seen nothing)."""

@@ -1,7 +1,8 @@
 """Multi-round crawl driver — the Spark shape of the reference's
 ``crawl_async`` loop (``crawler/discovery.py:253-319``): the ONLY
-driver-resident state is the round counter and per-table max-seq
-watermarks; everything else lives in snapshot-committed tables.
+driver-resident state is the round counter; sequence watermarks, row
+counts and per-partition lineage live in the snapshot manifest, and all
+data lives in snapshot-committed tables.
 
 Each round is one batch job committed atomically via
 ``SnapshotStore.commit`` (replacing the reference's torn-write
@@ -9,6 +10,15 @@ three-file checkpoint, ``crawler/discovery.py:123-155``). A killed run
 resumes from the last committed snapshot (``load_checkpoint`` analog,
 ``crawler/discovery.py:158-188``) and is bit-identical to an
 uninterrupted run (tests/test_resume.py).
+
+Per-round driver overhead is kept off the cluster:
+* empty-frontier / metrics / summary checks read manifest lineage row
+  counts (parquet footers captured at commit) — zero Spark jobs;
+* seq watermarks ride in the manifest (monotone; gaps are fine — only
+  the (depth, seq) ORDER is semantic) — no ``max(seq)`` collect jobs;
+* the Bloom URL-seen pre-filter is maintained incrementally: each round
+  hashes only its new urls and ORs them into the stored filter, instead
+  of re-hashing the whole seen set (``operators.seen.merge_blooms``).
 """
 
 from __future__ import annotations
@@ -21,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ccr_web_crawler_spark.functions.urlnorm import canonicalize_col, url_host_udf
 from ccr_web_crawler_spark.operators.ids import assign_global_seq
+from ccr_web_crawler_spark.operators.seen import build_bloom, merge_blooms
 from ccr_web_crawler_spark.plans.round import FRONTIER_COLS, RoundConfig, run_round
 from ccr_web_crawler_spark.sources.tableio import APPEND, REPLACE, SnapshotStore
 
@@ -55,6 +66,12 @@ def init_frontier(spark: SparkSession, seeds: DataFrame, cfg: RoundConfig) -> Da
     )
 
 
+METRICS_SCHEMA = (
+    "round int, pages_fetched long, links_extracted long, sections_discovered long, "
+    "failures long, wall_ms long"
+)
+
+
 def crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -70,104 +87,100 @@ def crawl(
     manifest = store.manifest()
     if manifest is None:
         frontier = init_frontier(spark, seeds, cfg)
-        store.commit(-1, {"frontier": (frontier, REPLACE)}, {"phase": "seeded"})
+        # seeds get seq 0..n-1 → watermark starts past them
+        store.commit(
+            -1,
+            {"frontier": (frontier, REPLACE)},
+            {"phase": "seeded"},
+            metrics_fn=lambda d: {
+                "watermarks": {"frontier": d.get("frontier", 0), "discovered": 0}
+            },
+        )
         manifest = store.manifest()
+    wm = dict(manifest.get("metrics", {}).get("watermarks") or {})
+    wm.setdefault("frontier", store.count("frontier"))
+    wm.setdefault("discovered", store.count("discovered"))
     round_no = manifest["round"] + 1
 
     metrics_rows = []
     rounds_done = 0
     while max_rounds is None or rounds_done < max_rounds:
-        frontier = store.read(spark, "frontier")
-        if frontier is None or frontier.isEmpty():
+        if store.count("frontier") == 0:
             break
+        frontier = store.read(spark, "frontier")
         seen = store.read(spark, "seen")
+        bloom = store.read(spark, "bloom") if cfg.use_bloom else None
         discovered = store.read(spark, "discovered")
         extracted_urls = None
         ext = store.read(spark, "extracted")
         if ext is not None:
             extracted_urls = ext.select(F.col("url").alias("url_canon"))
-        max_seq = {
-            "frontier": _max_seq(frontier),
-            "discovered": _max_seq(discovered),
-        }
+
         t0 = time.time()
         result = run_round(
-            spark,
-            round_no,
-            frontier,
-            seen,
-            discovered,
-            extracted_urls,
-            pages,
-            robots,
-            cfg,
-            max_seq=max_seq,
+            spark, round_no, frontier, seen, discovered, extracted_urls,
+            pages, robots, cfg, max_seq=wm, bloom=bloom,
         )
         tables: dict[str, tuple[DataFrame, str]] = {
             "frontier": (result.next_frontier, REPLACE),
             "seen": (result.new_seen, APPEND),
             "discovered": (result.new_discovered, APPEND),
         }
+        if cfg.use_bloom:
+            delta = build_bloom(result.new_seen, cfg.bloom_bits, cfg.bloom_k)
+            tables["bloom"] = (merge_blooms(bloom, delta), REPLACE)
         if result.extracted is not None:
             tables["extracted"] = (result.extracted, APPEND)
             tables["failures"] = (result.failures, APPEND)
-        # one action per table happens inside commit's parquet writes —
-        # counts come back from the committed files (no extra jobs)
-        version = store.commit(round_no, tables, {"phase": "round"})
-        m = store.manifest(version)
+
+        # watermarks: discovered is dense-append (cumulative count is
+        # exact); frontier only needs monotonicity, so advancing by the
+        # full committed frontier size (deferred + new) is safe — gaps
+        # never reorder (depth, seq). Committed atomically with the data.
         wall = time.time() - t0
-        row = _round_metrics(spark, store, round_no, wall)
-        metrics_rows.append(row)
-        store.commit(
-            round_no,
-            {"metrics": (spark.createDataFrame([row], METRICS_SCHEMA), APPEND)},
-            {"phase": "metrics", "wall_s": wall},
+        base_wm = wm
+
+        def _wm(deltas, _base=base_wm):
+            return {
+                "watermarks": {
+                    "frontier": _base["frontier"] + deltas.get("frontier", 0),
+                    "discovered": _base["discovered"] + deltas.get("discovered", 0),
+                }
+            }
+
+        version = store.commit(
+            round_no, tables, {"phase": "round", "wall_s": wall}, metrics_fn=_wm
+        )
+        wm = store.manifest(version)["metrics"]["watermarks"]
+        metrics_rows.append(
+            (
+                round_no,
+                store.rows_in_round("seen", round_no, version),
+                store.rows_in_round("frontier", round_no, version),
+                store.rows_in_round("discovered", round_no, version),
+                store.rows_in_round("failures", round_no, version),
+                int(wall * 1000),
+            )
         )
         round_no += 1
         rounds_done += 1
 
-    return _summary(spark, store, metrics_rows)
+    if metrics_rows:
+        store.commit(
+            round_no - 1,
+            {"metrics": (spark.createDataFrame(metrics_rows, METRICS_SCHEMA), APPEND)},
+            {"phase": "metrics", "watermarks": wm},
+        )
+    return _summary(store, metrics_rows)
 
 
-METRICS_SCHEMA = (
-    "round int, pages_fetched long, links_extracted long, sections_discovered long, "
-    "failures long, wall_ms long"
-)
-
-
-def _max_seq(df: DataFrame | None) -> int:
-    if df is None:
-        return 0
-    row = df.agg(F.max("seq").alias("m")).collect()[0]
-    return (row["m"] if row["m"] is not None else -1) + 1
-
-
-def _count(spark, store, table) -> int:
-    df = store.read(spark, table)
-    return df.count() if df is not None else 0
-
-
-def _round_metrics(spark, store, round_no, wall) -> tuple:
-    seen = store.read(spark, "seen")
-    fetched = (
-        seen.filter(F.col("first_round") == round_no).count() if seen is not None else 0
-    )
-    disc = store.read(spark, "discovered")
-    new_disc = 0
-    if disc is not None:
-        new_disc = disc.count()  # cumulative; per-round delta derivable
-    fails = _count(spark, store, "failures")
-    return (round_no, fetched, 0, new_disc, fails, int(wall * 1000))
-
-
-def _summary(spark, store, metrics_rows) -> CrawlSummary:
-    frontier = store.read(spark, "frontier")
+def _summary(store: SnapshotStore, metrics_rows) -> CrawlSummary:
     return CrawlSummary(
         rounds=len(metrics_rows),
-        visited=_count(spark, store, "seen"),
-        discovered=_count(spark, store, "discovered"),
-        extracted=_count(spark, store, "extracted"),
-        failures=_count(spark, store, "failures"),
-        queue_remaining=frontier.count() if frontier is not None else 0,
+        visited=store.count("seen"),
+        discovered=store.count("discovered"),
+        extracted=store.count("extracted"),
+        failures=store.count("failures"),
+        queue_remaining=store.count("frontier"),
         metrics=metrics_rows,
     )

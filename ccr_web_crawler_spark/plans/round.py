@@ -94,22 +94,27 @@ def run_round(
     cfg: RoundConfig,
     seen_count: int | None = None,
     max_seq: dict | None = None,
+    bloom: DataFrame | None = None,
 ) -> RoundResult:
     max_seq = max_seq or {}
     extract_links_udf = make_extract_links_udf(cfg.scope_substring, cfg.mode)
 
     # 1. dedupe queued copies, drop already-visited (Bloom-prefiltered
-    #    exact anti-join), admit per-host politeness budget
+    #    exact anti-join), admit per-host politeness budget. The driver
+    #    passes the incrementally-maintained bloom; standalone callers
+    #    fall back to building one from the full seen set.
     candidates = _dedupe_frontier(frontier)
-    bloom = None
-    if seen is not None and cfg.use_bloom:
+    if bloom is None and seen is not None and cfg.use_bloom:
         bloom = build_bloom(seen, cfg.bloom_bits, cfg.bloom_k)
     unseen = anti_join_seen(
         candidates, seen, bloom, "url_canon", cfg.n_buckets, cfg.bloom_bits, cfg.bloom_k
     )
     unseen = apply_robots(unseen, robots)
+    # eager checkpoint: unseen feeds admitted (→ seen/fetch) AND deferred
+    # (→ next frontier); under AQE only an eager checkpoint guarantees
+    # the dedupe/anti-join work runs once across those actions.
+    unseen = unseen.localCheckpoint(eager=True)
     admitted, deferred = admit_per_host(unseen, cfg.round_seconds)
-    admitted = admitted.localCheckpoint(eager=False)
 
     # 2. mark visited-at-pop (reference marks BEFORE fetch outcome,
     #    ``crawler/discovery.py:281``)
@@ -134,7 +139,9 @@ def run_round(
                 "link_pos", "link"
             ),
         )
-        .localCheckpoint(eager=False)
+        # eager: the fetch join + link-extraction UDF is the round's
+        # heaviest stage and feeds both nav and doc branches
+        .localCheckpoint(eager=True)
     )
 
     nav_links = links.filter(is_navigation_url(F.col("link")))
@@ -206,8 +213,10 @@ def run_round(
         doc_pages = worklist.join(
             pages.select(F.col("url").alias("url_canon"), "html"), "url_canon", "left"
         )
+        # eager: section extraction (pandas UDF over html) feeds both the
+        # extracted and failures sinks — run it once
         extracted_df = extract_sections(doc_pages, "url_canon", "html").localCheckpoint(
-            eager=False
+            eager=True
         )
         failures_df = extracted_df.filter(
             F.col("extraction_status") != "success"

@@ -31,6 +31,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # free dereferenced localCheckpoint blocks promptly — the round
+        # loop checkpoints per-round intermediates that die each round
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()

@@ -29,6 +29,7 @@ import time
 import uuid
 from pathlib import Path
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 # Tables that grow by appending deltas vs. tables replaced wholesale
@@ -75,16 +76,21 @@ class SnapshotStore:
         round_no: int,
         tables: dict[str, tuple[DataFrame, str]],
         metrics: dict | None = None,
+        metrics_fn=None,
     ) -> int:
         """Atomically commit one round. ``tables`` maps name →
         (DataFrame, APPEND|REPLACE). Empty DataFrames are recorded with
-        no files (cheap no-op deltas)."""
+        no files (cheap no-op deltas). ``metrics_fn``, if given, is
+        called with {table: rows written by THIS commit} and its result
+        is merged into the manifest metrics — this is how the driver
+        persists seq watermarks atomically with the data they describe."""
         prev = self.manifest() or {"tables": {}}
         version = (self.current_version() or 0) + 1
         new_tables: dict[str, dict] = {
             k: {"files": list(v["files"]), "lineage": dict(v.get("lineage", {}))}
             for k, v in prev["tables"].items()
         }
+        delta_rows: dict[str, int] = {}
         for name, (df, mode) in tables.items():
             rel_dir = f"data/{name}/v{version:06d}-{uuid.uuid4().hex[:8]}"
             out_dir = self.root / rel_dir
@@ -93,7 +99,13 @@ class SnapshotStore:
             for p in sorted(out_dir.glob("*.parquet")):
                 rel = f"{rel_dir}/{p.name}"
                 files.append(rel)
-                lineage[rel] = {"round": round_no}
+                # per-partition lineage incl. row count from the parquet
+                # footer — a driver-side metadata read, not a Spark job;
+                # downstream count()/isEmpty checks become free.
+                lineage[rel] = {
+                    "round": round_no,
+                    "rows": pq.ParquetFile(str(p)).metadata.num_rows,
+                }
             entry = new_tables.get(name, {"files": [], "lineage": {}})
             if mode == REPLACE:
                 entry = {"files": files, "lineage": lineage}
@@ -101,7 +113,11 @@ class SnapshotStore:
                 entry["files"] = entry["files"] + files
                 entry["lineage"].update(lineage)
             new_tables[name] = entry
+            delta_rows[name] = sum(v["rows"] for v in lineage.values())
 
+        metrics = dict(metrics or {})
+        if metrics_fn is not None:
+            metrics.update(metrics_fn(delta_rows))
         manifest = {
             "version": version,
             "round": round_no,
@@ -118,6 +134,26 @@ class SnapshotStore:
         tmp2.write_text(str(version))
         os.replace(tmp2, self._current_file)  # atomic pointer swing
         return version
+
+    def count(self, table: str, version: int | None = None) -> int:
+        """Committed row count from manifest lineage (no Spark job)."""
+        m = self.manifest(version)
+        if m is None or table not in m["tables"]:
+            return 0
+        return sum(
+            v.get("rows", 0) for v in m["tables"][table].get("lineage", {}).values()
+        )
+
+    def rows_in_round(self, table: str, round_no: int, version: int | None = None) -> int:
+        """Rows a specific round contributed to *table* (from lineage)."""
+        m = self.manifest(version)
+        if m is None or table not in m["tables"]:
+            return 0
+        return sum(
+            v.get("rows", 0)
+            for v in m["tables"][table].get("lineage", {}).values()
+            if v.get("round") == round_no
+        )
 
     def history(self) -> list[dict]:
         out = []
