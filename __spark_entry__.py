@@ -530,6 +530,36 @@ def _frontierish(spark, sf_dir):
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt broadcast-join + disallow-prefix filter + crawl_delay
+    attach (north_rule scale-up; SURVEY §2.9)."""
+    from ccr_web_crawler_spark.operators.politeness import apply_robots
+
+    frontier = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/private/")).otherwise(F.lit("/docs/")),
+            F.col("doc_id").cast("string"),
+        ).alias("url_canon"),
+    )
+    robots = spark.createDataFrame(
+        [("src1", ["/private/"], 2.0), ("src2", [], 0.5)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    return apply_robots(frontier, robots).select("doc_id", "host", "crawl_delay")
+
+
+_ROBOTS_SQL = """
+SELECT doc_id, source AS host,
+  CASE WHEN source = 'src1' THEN 2.0
+       WHEN source = 'src2' THEN 0.5 ELSE 1.5 END::DOUBLE AS crawl_delay
+FROM documents
+WHERE NOT (source = 'src1' AND doc_id % 3 = 0)
+"""
+
+
 def q_politeness_admit(spark, sf_dir):
     admitted, _ = admit_per_host(_frontierish(spark, sf_dir), 20.0, order_cols=("seq",))
     return admitted.select("doc_id", "host")
@@ -770,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "seen_antijoin": q_seen_antijoin,
         "global_seq": q_global_seq,
+        "robots_filter": q_robots_filter,
         "politeness_admit": q_politeness_admit,
         "politeness_slots": q_politeness_slots,
         "validate_report": q_validate_report,
@@ -799,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _URL_CANON_SQL,
         "seen_antijoin": _SEEN_ANTIJOIN_SQL,
         "global_seq": _GLOBAL_SEQ_SQL,
+        "robots_filter": _ROBOTS_SQL,
         "politeness_admit": _POLITENESS_ADMIT_SQL,
         "politeness_slots": _POLITENESS_SLOTS_SQL,
         "validate_report": _VALIDATE_SQL,

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 from ccr_web_crawler_spark.functions.urlnorm import canonicalize_col, url_host_udf
 from ccr_web_crawler_spark.operators.ids import assign_global_seq
 from ccr_web_crawler_spark.operators.seen import build_bloom, merge_blooms
-from ccr_web_crawler_spark.plans.round import FRONTIER_COLS, RoundConfig, run_round
+from ccr_web_crawler_spark.plans.round import (
+    FRONTIER_COLS,
+    RoundConfig,
+    failures_projection,
+    run_round,
+)
 from ccr_web_crawler_spark.sources.tableio import APPEND, REPLACE, SnapshotStore
 
 
@@ -129,29 +134,44 @@ def crawl(
         if cfg.use_bloom:
             delta = build_bloom(result.new_seen, cfg.bloom_bits, cfg.bloom_k)
             tables["bloom"] = (merge_blooms(bloom, delta), REPLACE)
+        derived = None
         if result.extracted is not None:
             tables["extracted"] = (result.extracted, APPEND)
-            tables["failures"] = (result.failures, APPEND)
+            # failures derive from the extracted files written by this
+            # same commit — a column-pruned scan, not a recompute
+            derived = {
+                "failures": (
+                    "extracted",
+                    lambda df, r=round_no: failures_projection(df, r),
+                    APPEND,
+                )
+            }
 
-        # watermarks: discovered is dense-append (cumulative count is
-        # exact); frontier only needs monotonicity, so advancing by the
-        # full committed frontier size (deferred + new) is safe — gaps
-        # never reorder (depth, seq). Committed atomically with the data.
-        wall = time.time() - t0
         base_wm = wm
 
-        def _wm(deltas, _base=base_wm):
+        def _wm(deltas, _base=base_wm, _t0=t0):
+            # runs after the data writes, before the manifest lands, so
+            # wall covers the real round incl. the writes. nav + doc
+            # links share one sequence space per round (fused assignment
+            # in run_round, offset = max of both marks), so advance both
+            # watermarks past everything sequenced; the frontier delta
+            # over-counts deferred rows — gaps are fine (only the
+            # (depth, seq) ORDER is semantic).
+            nxt = (
+                max(_base["frontier"], _base["discovered"])
+                + deltas.get("frontier", 0)
+                + deltas.get("discovered", 0)
+            )
             return {
-                "watermarks": {
-                    "frontier": _base["frontier"] + deltas.get("frontier", 0),
-                    "discovered": _base["discovered"] + deltas.get("discovered", 0),
-                }
+                "watermarks": {"frontier": nxt, "discovered": nxt},
+                "wall_s": round(time.time() - _t0, 3),
             }
 
         version = store.commit(
-            round_no, tables, {"phase": "round", "wall_s": wall}, metrics_fn=_wm
+            round_no, tables, {"phase": "round"}, metrics_fn=_wm, derived=derived
         )
-        wm = store.manifest(version)["metrics"]["watermarks"]
+        committed = store.manifest(version)["metrics"]
+        wm = committed["watermarks"]
         metrics_rows.append(
             (
                 round_no,
@@ -159,7 +179,7 @@ def crawl(
                 store.rows_in_round("frontier", round_no, version),
                 store.rows_in_round("discovered", round_no, version),
                 store.rows_in_round("failures", round_no, version),
-                int(wall * 1000),
+                int(committed["wall_s"] * 1000),
             )
         )
         round_no += 1

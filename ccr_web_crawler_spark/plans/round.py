@@ -71,6 +71,18 @@ class RoundResult:
     stats: dict
 
 
+def failures_projection(extracted: DataFrame, round_no: int) -> DataFrame:
+    """Failed-URL sink rows (reference TSV, ``crawler/extraction.py:249-250``)
+    — a 3-column projection, so deriving it from written parquet is a
+    column-pruned scan that never touches the big text columns."""
+    return extracted.filter(F.col("extraction_status") != "success").select(
+        F.col("url"),
+        F.col("extraction_status").alias("status"),
+        F.col("extraction_note").alias("note"),
+        F.lit(round_no).alias("round"),
+    )
+
+
 def _dedupe_frontier(frontier: DataFrame) -> DataFrame:
     """Pop-time duplicate drop (reference ``crawler/discovery.py:277-283``):
     first-queued copy — min (depth, seq) — wins."""
@@ -144,15 +156,22 @@ def run_round(
         .localCheckpoint(eager=True)
     )
 
-    nav_links = links.filter(is_navigation_url(F.col("link")))
-    doc_links = links.filter(is_section_url(F.col("link")))
-
-    # 5. next frontier: deferred rows keep their seq (queue order);
-    #    new nav links are sequenced after the current max
-    nav_candidates = (
-        nav_links.groupBy("link")
+    # 5/6. classify + sequence nav and doc links in ONE global-seq pass
+    #    (kind is the leading order key, so within-kind ordering equals
+    #    the reference's per-list insertion order; seq values carry gaps
+    #    across kinds, which is fine — only the (depth, seq) ORDER is
+    #    semantic, watermarks in the snapshot manifest stay monotone).
+    #    First-queued copy wins (reference ``crawler/discovery.py:246-248``).
+    classified = links.withColumn(
+        "kind",
+        F.when(is_navigation_url(F.col("link")), F.lit(0))
+        .when(is_section_url(F.col("link")), F.lit(1)),
+    ).filter(F.col("kind").isNotNull())
+    link_candidates = (
+        classified.groupBy("kind", "link")
         .agg(F.min(F.struct("depth", "parent_seq", "link_pos", "parent")).alias("s"))
         .select(
+            "kind",
             F.col("link").alias("url_canon"),
             (F.col("s.depth") + 1).alias("depth"),
             F.col("s.parent_seq").alias("parent_seq"),
@@ -160,13 +179,21 @@ def run_round(
             F.col("s.parent").alias("parent"),
         )
     )
-    nav_new = assign_global_seq(
-        nav_candidates,
-        ["depth", "parent_seq", "link_pos"],
+    if discovered is not None:
+        seen_docs = discovered.select(F.lit(1).alias("kind"), "url_canon")
+        link_candidates = link_candidates.join(
+            seen_docs, ["kind", "url_canon"], "left_anti"
+        )
+    base = max(max_seq.get("frontier", 0), max_seq.get("discovered", 0))
+    sequenced = assign_global_seq(
+        link_candidates,
+        ["kind", "depth", "parent_seq", "link_pos"],
         "seq",
-        offset=max_seq.get("frontier", 0),
+        offset=base,
         num_partitions=cfg.seq_partitions,
-    ).select(
+    )
+
+    nav_new = sequenced.filter(F.col("kind") == 0).select(
         "url_canon",
         url_host_udf(F.col("url_canon")).alias("host"),
         "depth",
@@ -176,30 +203,7 @@ def run_round(
         F.lit(round_no + 1).alias("round"),
     )
     next_frontier = deferred.select(*FRONTIER_COLS).unionByName(nav_new)
-
-    # 6. discovered sections: first-discovery order is crawl order
-    #    (reference ``crawler/discovery.py:246-248``)
-    doc_candidates = (
-        doc_links.groupBy("link")
-        .agg(F.min(F.struct("depth", "parent_seq", "link_pos")).alias("s"))
-        .select(
-            F.col("link").alias("url_canon"),
-            (F.col("s.depth") + 1).alias("depth"),
-            F.col("s.parent_seq").alias("parent_seq"),
-            F.col("s.link_pos").alias("link_pos"),
-        )
-    )
-    if discovered is not None:
-        doc_candidates = doc_candidates.join(
-            discovered.select("url_canon"), "url_canon", "left_anti"
-        )
-    new_discovered = assign_global_seq(
-        doc_candidates,
-        ["depth", "parent_seq", "link_pos"],
-        "seq",
-        offset=max_seq.get("discovered", 0),
-        num_partitions=cfg.seq_partitions,
-    ).select(*DISCOVERED_COLS)
+    new_discovered = sequenced.filter(F.col("kind") == 1).select(*DISCOVERED_COLS)
 
     # 7. extraction stage over this round's new discoveries
     #    (reference phase 2, ``crawler/extraction.py:215-267``; resume
@@ -213,19 +217,13 @@ def run_round(
         doc_pages = worklist.join(
             pages.select(F.col("url").alias("url_canon"), "html"), "url_canon", "left"
         )
-        # eager: section extraction (pandas UDF over html) feeds both the
-        # extracted and failures sinks — run it once
-        extracted_df = extract_sections(doc_pages, "url_canon", "html").localCheckpoint(
-            eager=True
-        )
-        failures_df = extracted_df.filter(
-            F.col("extraction_status") != "success"
-        ).select(
-            F.col("url").alias("url"),
-            F.col("extraction_status").alias("status"),
-            F.col("extraction_note").alias("note"),
-            F.lit(round_no).alias("round"),
-        )
+        # NOT checkpointed: the extraction UDF output (big text columns)
+        # materializes exactly once — at the commit's parquet write; the
+        # failures sink is then derived from a column-pruned scan of the
+        # just-written files (SnapshotStore.commit(derived=...)). The
+        # failures_df here is for standalone callers only.
+        extracted_df = extract_sections(doc_pages, "url_canon", "html")
+        failures_df = failures_projection(extracted_df, round_no)
 
     return RoundResult(
         next_frontier=next_frontier,

@@ -29,7 +29,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # -Xmx is a cap, not a reservation; the bench page corpora plus
+        # per-round checkpoints overflow a small heap into GC churn
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         # free dereferenced localCheckpoint blocks promptly — the round
         # loop checkpoints per-round intermediates that die each round

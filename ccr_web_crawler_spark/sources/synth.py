@@ -73,6 +73,7 @@ def plan_site(
     nav_fraction: float = 0.2,
     parse_failure_every: int = 50,
     external_every: int = 97,
+    doc_paras: tuple[int, int] = (1, 4),
 ) -> list[PagePlan]:
     """Deterministic site plan. host0 is the hot host (skew)."""
     assert n_hosts >= 1
@@ -126,7 +127,8 @@ def plan_site(
                 status = "parse_failure"
             elif d > 0 and d % external_every == 0:
                 status = "external_redirect"
-            n_paras = 1 + _det(seed, h, d, "np") % 4
+            lo, hi = doc_paras
+            n_paras = lo + _det(seed, h, d, "np") % max(1, hi - lo + 1)
             plans.append(PagePlan(doc_url(d), host, "doc", page_no, status, [], n_paras))
             page_no += 1
     return plans
@@ -135,14 +137,22 @@ def plan_site(
 # ------------------------------------------------------------- rendering
 
 
-def _para_text(seed: int, host: str, page_no: int, p: int) -> str:
-    n_words = 8 + _det(seed, host, page_no, p, "nw") % 12
-    words = [VOCAB[_det(seed, host, page_no, p, w) % len(VOCAB)] for w in range(n_words)]
+def _para_text(seed: int, host: str, page_no: int, p: int, para_words: int = 12) -> str:
+    # one digest seeds a cheap LCG for the whole paragraph (a sha256 per
+    # word made synthesis itself the bottleneck at bench page weights)
+    state = _det(seed, host, page_no, p, "nw")
+    n_words = (para_words * 2) // 3 + state % max(1, para_words)
+    words = []
+    for _ in range(n_words):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        words.append(VOCAB[(state >> 33) % len(VOCAB)])
     return f"Section {page_no}.{p} " + " ".join(words) + "."
 
 
-def render_page(plan_row: dict, seed: int) -> tuple[bytes, str]:
-    """→ (html bytes, golden text_plain). Pure function of the plan."""
+def render_page(plan_row: dict, seed: int, para_words: int = 12) -> tuple[bytes, str]:
+    """→ (html bytes, golden text_plain). Pure function of the plan.
+    ``para_words`` scales paragraph length (page weight) — bench uses
+    Common-Crawl-like page sizes; tests use the light default."""
     host, kind, page_no = plan_row["host"], plan_row["kind"], plan_row["page_no"]
     links = "\n".join(f'<a href="{h}">link</a>' for h in plan_row["hrefs"])
     if kind == "nav":
@@ -171,7 +181,7 @@ def render_page(plan_row: dict, seed: int) -> tuple[bytes, str]:
         body = "<p>Placeholder page without content blocks.</p>"
         expected = ""
     else:
-        paras = [_para_text(seed, host, page_no, p) for p in range(plan_row["n_paras"])]
+        paras = [_para_text(seed, host, page_no, p, para_words) for p in range(plan_row["n_paras"])]
         body = '<div class="co_contentBlock co_body">' + "".join(
             f'<div class="co_paragraph"><div class="co_paragraphText">{t}</div></div>' for t in paras
         ) + "</div>"
@@ -197,6 +207,7 @@ def synth_pages(
     n_hosts: int = 8,
     seed: int = 42,
     partitions: int | None = None,
+    para_words: int = 12,
     **plan_kwargs,
 ) -> DataFrame:
     """The ``pages`` table (+ helper cols host/kind, droppable)."""
@@ -212,7 +223,7 @@ def synth_pages(
         for pdf in batches:
             out = []
             for row in pdf.to_dict("records"):
-                html, expected = render_page(row, seed)
+                html, expected = render_page(row, seed, para_words)
                 out.append(
                     {
                         "url": row["url"],

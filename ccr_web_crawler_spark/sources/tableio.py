@@ -77,13 +77,22 @@ class SnapshotStore:
         tables: dict[str, tuple[DataFrame, str]],
         metrics: dict | None = None,
         metrics_fn=None,
+        derived: dict | None = None,
     ) -> int:
         """Atomically commit one round. ``tables`` maps name →
         (DataFrame, APPEND|REPLACE). Empty DataFrames are recorded with
         no files (cheap no-op deltas). ``metrics_fn``, if given, is
         called with {table: rows written by THIS commit} and its result
         is merged into the manifest metrics — this is how the driver
-        persists seq watermarks atomically with the data they describe."""
+        persists seq watermarks atomically with the data they describe.
+
+        ``derived`` maps name → (src_table, fn, mode): after ``src``'s
+        data files are written, ``fn(read-back-of-those-files)`` is
+        written as another table IN THE SAME atomic commit. This lets a
+        big table (e.g. extracted sections) materialize exactly once
+        while small projections of it (e.g. the failures sink) come from
+        a column-pruned scan of the files just written — the crash
+        window stays zero because the manifest lands last."""
         prev = self.manifest() or {"tables": {}}
         version = (self.current_version() or 0) + 1
         new_tables: dict[str, dict] = {
@@ -91,7 +100,9 @@ class SnapshotStore:
             for k, v in prev["tables"].items()
         }
         delta_rows: dict[str, int] = {}
-        for name, (df, mode) in tables.items():
+        delta_files: dict[str, list[str]] = {}
+
+        def _write(name: str, df: DataFrame, mode: str) -> None:
             rel_dir = f"data/{name}/v{version:06d}-{uuid.uuid4().hex[:8]}"
             out_dir = self.root / rel_dir
             df.write.mode("overwrite").parquet(str(out_dir))
@@ -114,6 +125,18 @@ class SnapshotStore:
                 entry["lineage"].update(lineage)
             new_tables[name] = entry
             delta_rows[name] = sum(v["rows"] for v in lineage.values())
+            delta_files[name] = [str(self.root / f) for f in files]
+
+        spark = None
+        for name, (df, mode) in tables.items():
+            spark = df.sparkSession
+            _write(name, df, mode)
+        for name, (src, fn, mode) in (derived or {}).items():
+            if delta_files.get(src):
+                src_df = spark.read.parquet(*delta_files[src])
+            else:  # empty source delta → empty derived delta
+                src_df = tables[src][0]
+            _write(name, fn(src_df), mode)
 
         metrics = dict(metrics or {})
         if metrics_fn is not None:
