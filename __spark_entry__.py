@@ -692,6 +692,65 @@ FROM src
 """
 
 
+# --- JSON ingest paths (reference indexer/ingest.py:45-50 JSONL.gz scan;
+#     json.loads per record → from_json with explicit schema)
+
+
+def q_json_props(spark, sf_dir):
+    """Schema-on-read JSON parsing (``from_json`` with explicit schema —
+    reference ``indexer/ingest.py:50``, ``crawler/extraction.py:252``)."""
+    ev = _read(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k int").alias("p"),
+    )
+    return parsed.select("event_id", F.col("p.k").cast("long").alias("k"))
+
+
+_JSON_PROPS_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_jsonl_gz_ingest(spark, sf_dir):
+    """Gzip JSONL round-trip: write documents as .json.gz, re-ingest
+    with an explicit schema (reference streams a gzip JSONL corpus,
+    ``indexer/ingest.py:45-50``); the oracle is the source table."""
+    d = _read(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    path = os.path.join(tmp, "docs.jsonl.gz")
+    d.coalesce(4).write.mode("overwrite").option("compression", "gzip").json(path)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return spark.read.schema(schema).json(path).select("doc_id", "lang", "n_chars", "text")
+
+
+_JSONL_GZ_SQL = "SELECT doc_id, lang, n_chars, text FROM documents"
+
+
+def q_build_index(spark, sf_dir):
+    """Vector-index build (embed UDF over assembled text + idempotent
+    upsert on url — reference ``indexer/ingest.py``); rows-only (the
+    hash-projection embedder isn't SQL)."""
+    from ccr_web_crawler_spark.operators.index import build_index
+
+    d = _read(spark, sf_dir, "documents")
+    hier = F.struct(
+        F.lit("Title X").alias("title"), F.lit(None).cast("string").alias("division"),
+        F.lit("Ch 1").alias("chapter"), F.lit(None).cast("string").alias("subchapter"),
+        F.lit(None).cast("string").alias("article"),
+    )
+    extracted = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(F.lit("Topic "), F.col("doc_id").cast("string")).alias("section_title"),
+        F.concat(F.lit("S"), (F.col("doc_id") % 100).cast("string")).alias("section_number"),
+        F.col("source").alias("citation_short"),
+        hier.alias("hierarchy"),
+        F.col("text").alias("text_plain"),
+    )
+    idx = build_index(extracted)
+    return idx.select("url", F.size("vec").alias("dim"), F.col("meta.title").alias("title"))
+
+
 # --- crawl engine end-to-end (rows-only: HTML extraction isn't SQL)
 
 
@@ -805,6 +864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_slots": q_politeness_slots,
         "validate_report": q_validate_report,
         "index_meta": q_index_meta,
+        # JSON ingest
+        "json_props": q_json_props,
+        "jsonl_gz_ingest": q_jsonl_gz_ingest,
+        "build_index": q_build_index,
         # crawl end-to-end + multimodal (rows-only)
         "crawl_round0": q_crawl_round0,
         "crawl_extracted": q_crawl_extracted,
@@ -835,4 +898,6 @@ def oracle_sql() -> dict[str, str]:
         "politeness_slots": _POLITENESS_SLOTS_SQL,
         "validate_report": _VALIDATE_SQL,
         "index_meta": _INDEX_META_SQL,
+        "json_props": _JSON_PROPS_SQL,
+        "jsonl_gz_ingest": _JSONL_GZ_SQL,
     }
