@@ -46,8 +46,13 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
         2000, int(200_000 * sf)
     )
     log(f"[bench] synthesizing {n_pages}-page web ...")
-    pages = synth_pages(spark, n_pages=n_pages, n_hosts=8, partitions=cpus)
-    pages = pages.localCheckpoint(eager=True)  # exclude synthesis from timing
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    # pages live on parquet like the production Iceberg table → fetch
+    # scans are column-pruned; synthesis is excluded from timing
+    synth_pages(spark, n_pages=n_pages, n_hosts=8, partitions=cpus).write.mode(
+        "overwrite"
+    ).parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
 
     cfg = RoundConfig(seq_partitions=max(4, cpus // 2))
 

@@ -107,6 +107,11 @@ def crawl(
     wm.setdefault("discovered", store.count("discovered"))
     round_no = manifest["round"] + 1
 
+    # one pruned pass over the corpus for the whole crawl: the fetch
+    # miss-detection anti-join probes this instead of re-projecting the
+    # fat pages relation every round
+    page_urls = pages.select(F.col("url").alias("url_canon")).localCheckpoint(eager=True)
+
     metrics_rows = []
     rounds_done = 0
     while max_rounds is None or rounds_done < max_rounds:
@@ -124,7 +129,7 @@ def crawl(
         t0 = time.time()
         result = run_round(
             spark, round_no, frontier, seen, discovered, extracted_urls,
-            pages, robots, cfg, max_seq=wm, bloom=bloom,
+            pages, robots, cfg, max_seq=wm, bloom=bloom, page_urls=page_urls,
         )
         tables: dict[str, tuple[DataFrame, str]] = {
             "frontier": (result.next_frontier, REPLACE),

@@ -59,6 +59,13 @@ class RoundConfig:
     max_attempts: int = 3
     extract: bool = True  # run the extraction stage on new discoveries
     seq_partitions: int | None = None
+    # fetch-join strategy. 'broadcast' (default): broadcast the
+    # admitted-frontier/worklist side and STREAM the pages corpus — the
+    # corpus is never shuffled (at 100TB you never sort-shuffle the web
+    # to fetch a round). 'shuffle': plain shuffled join, for when a
+    # single round's frontier outgrows broadcast size — in production
+    # pair it with pages bucketed by url_canon so the join co-locates.
+    fetch_strategy: str = "broadcast"
 
 
 @dataclass
@@ -81,6 +88,37 @@ def failures_projection(extracted: DataFrame, round_no: int) -> DataFrame:
         F.col("extraction_note").alias("note"),
         F.lit(round_no).alias("round"),
     )
+
+
+def fetch_join(
+    candidates: DataFrame,
+    pages: DataFrame,
+    cfg: RoundConfig,
+    page_urls: DataFrame | None = None,
+) -> DataFrame:
+    """Sandbox 'fetch': candidate urls ⟕ pages html (the pages table IS
+    the web; reference network fetch ``crawler/discovery.py:191-220``).
+
+    Left-outer semantics (missing page → null html → failure record)
+    WITHOUT shuffling the corpus: inner-join with the candidate side
+    broadcast (pages streams, no exchange/sort of html), then re-attach
+    the misses via an anti-join against ``page_urls`` — the url column
+    only. Pass a pre-materialized ``page_urls`` (the driver checkpoints
+    it once per crawl): projecting it ad hoc from an in-memory fat
+    checkpoint deserializes every column of the corpus per round.
+    On parquet-backed pages the projection is a pruned scan anyway."""
+    pages_proj = pages.select(F.col("url").alias("url_canon"), "html")
+    if cfg.fetch_strategy == "broadcast":
+        if page_urls is None:
+            page_urls = pages.select(F.col("url").alias("url_canon"))
+        hit = pages_proj.join(F.broadcast(candidates), "url_canon", "inner").select(
+            *candidates.columns, "html"
+        )
+        miss = candidates.join(
+            F.broadcast(page_urls.select("url_canon")), "url_canon", "left_anti"
+        ).withColumn("html", F.lit(None).cast("binary"))
+        return hit.unionByName(miss)
+    return candidates.join(pages_proj, "url_canon", "left")
 
 
 def _dedupe_frontier(frontier: DataFrame) -> DataFrame:
@@ -107,6 +145,7 @@ def run_round(
     seen_count: int | None = None,
     max_seq: dict | None = None,
     bloom: DataFrame | None = None,
+    page_urls: DataFrame | None = None,
 ) -> RoundResult:
     max_seq = max_seq or {}
     extract_links_udf = make_extract_links_udf(cfg.scope_substring, cfg.mode)
@@ -135,10 +174,8 @@ def run_round(
     ).withColumn("first_round", F.lit(round_no))
 
     # 3. fetch = join against the pages table (the sandbox "web");
-    #    project ONLY (url, html) so the binary column never rides along
-    fetched = admitted.join(
-        pages.select(F.col("url").alias("url_canon"), "html"), "url_canon", "left"
-    )
+    #    broadcast-streamed so the corpus never shuffles (see fetch_join)
+    fetched = fetch_join(admitted, pages, cfg, page_urls)
 
     # 4. link extraction (document order preserved via posexplode)
     links = (
@@ -214,9 +251,7 @@ def run_round(
         worklist = new_discovered.select("url_canon")
         if extracted_urls is not None:
             worklist = worklist.join(extracted_urls, "url_canon", "left_anti")
-        doc_pages = worklist.join(
-            pages.select(F.col("url").alias("url_canon"), "html"), "url_canon", "left"
-        )
+        doc_pages = fetch_join(worklist, pages, cfg, page_urls)
         # NOT checkpointed: the extraction UDF output (big text columns)
         # materializes exactly once — at the commit's parquet write; the
         # failures sink is then derived from a column-pruned scan of the

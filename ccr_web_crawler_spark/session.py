@@ -33,9 +33,6 @@ def get_spark(
         # per-round checkpoints overflow a small heap into GC churn
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
-        # free dereferenced localCheckpoint blocks promptly — the round
-        # loop checkpoints per-round intermediates that die each round
-        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()

@@ -42,25 +42,54 @@ cpus = {cpus}
 spark = get_spark(app_name="scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 kw = dict(doc_paras=(120, 200), para_words=40, branching=16, nav_fraction=0.08)
-pages = synth_pages(spark, n_pages={n_pages}, n_hosts=8, partitions=cpus, **kw)
-pages = pages.localCheckpoint(eager=True)
+# pages live on parquet like the production Iceberg table → every scan
+# is column-pruned instead of deserializing fat in-memory rows
+pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+synth_pages(spark, n_pages={n_pages}, n_hosts=8, partitions=cpus, **kw) \
+    .write.mode("overwrite").parquet(pages_dir)
+pages = spark.read.parquet(pages_dir)
 with tempfile.TemporaryDirectory() as tmp:  # JIT/codegen warmup
     crawl(spark, synth_pages(spark, 100, 2).localCheckpoint(eager=True), synth_seeds(spark),
           SnapshotStore(os.path.join(tmp, "w")), RoundConfig(seq_partitions=4), max_rounds=3)
+def _cpustat():
+    f = open("/proc/stat").readline().split()
+    return [int(x) for x in f[1:]]
+
 with tempfile.TemporaryDirectory() as tmp:
     store = SnapshotStore(os.path.join(tmp, "c"))
+    st0 = _cpustat()
     t0 = time.time()
     s = crawl(spark, pages, synth_seeds(spark), store,
               RoundConfig(seq_partitions=max(4, cpus // 2)), max_rounds=32)
     wall = time.time() - t0
+    st1 = _cpustat()
+d = [b - a for a, b in zip(st0, st1)]
+busy = d[0] + d[1] + d[2]          # user+nice+system
+steal = d[7] if len(d) > 7 else 0  # hypervisor steal during the run
+# JVM + python-worker CPU from /proc (the JVM is a py4j child that is
+# not reaped by us, so getrusage(RUSAGE_CHILDREN) misses it)
+import glob
+tick = os.sysconf("SC_CLK_TCK")
+proc_cpu = 0.0
+for stat in glob.glob("/proc/[0-9]*/stat"):
+    try:
+        parts = open(stat).read().rsplit(") ", 1)[1].split()
+        comm = open(stat).read().split("(", 1)[1].rsplit(")", 1)[0]
+        if comm in ("java",) or "pyspark.daemon" in comm or comm.startswith("python"):
+            proc_cpu += (int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])) / tick
+    except (OSError, IndexError, ValueError):
+        pass
 spark.stop()
 ru_s = resource.getrusage(resource.RUSAGE_SELF)
 ru_c = resource.getrusage(resource.RUSAGE_CHILDREN)
-cpu_s = ru_s.ru_utime + ru_s.ru_stime + ru_c.ru_utime + ru_c.ru_stime
+cpu_s = max(proc_cpu, ru_s.ru_utime + ru_s.ru_stime + ru_c.ru_utime + ru_c.ru_stime)
 done = s.visited + s.extracted
+tickc = os.sysconf("SC_CLK_TCK")
 print("RESULT " + json.dumps({{
     "cpus": cpus, "wall_s": round(wall, 1), "pages_per_sec": round(done / wall, 1),
-    "pages": done, "rounds": s.rounds, "cpu_s": round(cpu_s, 1)}}))
+    "pages": done, "rounds": s.rounds, "cpu_s": round(cpu_s, 1),
+    "busy_cores": round(busy / tickc / wall, 2),
+    "steal_cores": round(steal / tickc / wall, 2)}}))
 """
 
 
@@ -78,26 +107,29 @@ def run_level(cpus: int, n_pages: int) -> dict:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    lo_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    hi_n = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    runs: dict[int, list[dict]] = {lo_n: [], hi_n: []}
     for i in range(repeats):
-        for cpus in (8, 32):
+        for cpus in (lo_n, hi_n):
             r = run_level(cpus, n_pages)
             runs[cpus].append(r)
             print(f"[scaling] round {i} local[{cpus}]: {r['pages_per_sec']} p/s "
                   f"(wall {r['wall_s']}s, cpu {r['cpu_s']}s)", file=sys.stderr, flush=True)
-    best8 = max(runs[8], key=lambda r: r["pages_per_sec"])
-    best32 = max(runs[32], key=lambda r: r["pages_per_sec"])
-    eff = (best32["pages_per_sec"] / best8["pages_per_sec"]) / 4.0
+    best_lo = max(runs[lo_n], key=lambda r: r["pages_per_sec"])
+    best_hi = max(runs[hi_n], key=lambda r: r["pages_per_sec"])
+    factor = hi_n / lo_n
+    eff = (best_hi["pages_per_sec"] / best_lo["pages_per_sec"]) / factor
     print(json.dumps({
         "n_pages": n_pages,
         "repeats": repeats,
-        "local8": runs[8],
-        "local32": runs[32],
-        "best_local8_pps": best8["pages_per_sec"],
-        "best_local32_pps": best32["pages_per_sec"],
-        "speedup_8_to_32": round(best32["pages_per_sec"] / best8["pages_per_sec"], 3),
+        "levels": [lo_n, hi_n],
+        f"local{lo_n}": runs[lo_n],
+        f"local{hi_n}": runs[hi_n],
+        "best_lo_pps": best_lo["pages_per_sec"],
+        "best_hi_pps": best_hi["pages_per_sec"],
+        "speedup": round(best_hi["pages_per_sec"] / best_lo["pages_per_sec"], 3),
         "scaling_efficiency": round(eff, 3),
-        "cpu_s_ratio_32_over_8": round(best32["cpu_s"] / best8["cpu_s"], 3),
     }))
 
 
