@@ -28,6 +28,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # rows through the extract UDFs carry ~100KB html/text blobs; the
+        # 10k-row default Arrow batch becomes ~1GB of humongous G1
+        # allocations per batch and destabilizes the JVM — cap ≈200MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         # -Xmx is a cap, not a reservation; the bench page corpora plus
         # per-round checkpoints overflow a small heap into GC churn

@@ -39,7 +39,20 @@ from ccr_web_crawler_spark.plans.driver import crawl
 from ccr_web_crawler_spark.plans.round import RoundConfig
 
 cpus = {cpus}
-spark = get_spark(app_name="scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+mode = {mode!r}
+if mode == "executors":
+    # N real executor JVMs x 2 cores each — the faithful sandbox
+    # rendition of "N vs 4N executors": independent heaps/GC/python
+    # workers per executor, scheduler does real cross-executor work.
+    # The package ships to executors as a --py-files-style zip.
+    master = f"local-cluster[{{cpus}},2,4096]"
+    spark = get_spark(app_name="scaling", master=master, shuffle_partitions=2 * cpus)
+    import shutil
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="pyfiles_"), "ccr_web_crawler_spark")
+    shutil.make_archive(zip_base, "zip", {repo!r}, "ccr_web_crawler_spark")
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+else:
+    spark = get_spark(app_name="scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 kw = dict(doc_paras=(120, 200), para_words=40, branching=16, nav_fraction=0.08)
 # pages live on parquet like the production Iceberg table → every scan
@@ -93,8 +106,8 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_level(cpus: int, n_pages: int) -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages)
+def run_level(cpus: int, n_pages: int, mode: str = "threads") -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, mode=mode)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -109,10 +122,11 @@ def main() -> None:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     lo_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     hi_n = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    mode = sys.argv[5] if len(sys.argv) > 5 else "threads"
     runs: dict[int, list[dict]] = {lo_n: [], hi_n: []}
     for i in range(repeats):
         for cpus in (lo_n, hi_n):
-            r = run_level(cpus, n_pages)
+            r = run_level(cpus, n_pages, mode)
             runs[cpus].append(r)
             print(f"[scaling] round {i} local[{cpus}]: {r['pages_per_sec']} p/s "
                   f"(wall {r['wall_s']}s, cpu {r['cpu_s']}s)", file=sys.stderr, flush=True)
@@ -124,6 +138,7 @@ def main() -> None:
         "n_pages": n_pages,
         "repeats": repeats,
         "levels": [lo_n, hi_n],
+        "mode": mode,
         f"local{lo_n}": runs[lo_n],
         f"local{hi_n}": runs[hi_n],
         "best_lo_pps": best_lo["pages_per_sec"],
