@@ -55,6 +55,7 @@ def admit_per_host(
     frontier: DataFrame,
     round_seconds: float | None,
     order_cols: tuple[str, ...] = ("depth", "seq"),
+    n_salts: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (admitted, deferred) by per-host budget.
 
@@ -62,17 +63,43 @@ def admit_per_host(
     everything (level-synchronous BFS — the equivalence-test shape).
     Priority within a host is BFS order (reference pop order,
     ``crawler/discovery.py:279``).
+
+    Hot-host skew (north_rule salting clause): a naive
+    ``row_number() OVER (PARTITION BY host)`` sorts a hot host's entire
+    frontier slice in ONE task — with one host holding 50% of a 10^10-row
+    frontier that task never finishes. Only the first ``budget`` rows per
+    host can ever be admitted, so admission runs in two levels:
+
+    1. salt every row by ``pmod(xxhash64(url_canon), n_salts)`` and rank
+       within ``(host, salt)`` — n_salts parallel windows per host, each
+       ~1/n_salts of the host's rows; rows ranked past the budget in
+       their own salt cannot be in the host's overall top-budget →
+       deferred immediately;
+    2. a second ``row_number`` over the survivors (≤ n_salts·budget per
+       host — tiny) picks the exact per-host top-budget.
+
+    Semantics are EXACTLY the single-window form: a row in the host's
+    global top-budget is necessarily in its salt's top-budget, so level 1
+    never drops an admit.
     """
     if round_seconds is None:
         return frontier, frontier.limit(0)
-    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in order_cols])
+    order = [F.col(c) for c in order_cols]
     budget = F.greatest(
         F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
     )
-    ranked = frontier.withColumn("__rk", F.row_number().over(w))
-    admitted = ranked.filter(F.col("__rk") <= budget).drop("__rk")
-    deferred = ranked.filter(F.col("__rk") > budget).drop("__rk")
-    return admitted, deferred
+    salt = F.pmod(F.xxhash64(F.col("url_canon")), F.lit(n_salts)) if "url_canon" in frontier.columns else F.pmod(F.xxhash64(*order), F.lit(n_salts))
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    pre = frontier.withColumn("__salt", salt).withColumn(
+        "__rk1", F.row_number().over(w1)
+    )
+    survivors = pre.filter(F.col("__rk1") <= budget)
+    defer1 = pre.filter(F.col("__rk1") > budget).drop("__salt", "__rk1")
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = survivors.withColumn("__rk", F.row_number().over(w2))
+    admitted = ranked.filter(F.col("__rk") <= budget).drop("__salt", "__rk1", "__rk")
+    defer2 = ranked.filter(F.col("__rk") > budget).drop("__salt", "__rk1", "__rk")
+    return admitted, defer2.unionByName(defer1)
 
 
 def assign_fetch_slots(admitted: DataFrame, round_start: float = 0.0) -> DataFrame:

@@ -72,9 +72,23 @@ def init_frontier(spark: SparkSession, seeds: DataFrame, cfg: RoundConfig) -> Da
 
 
 METRICS_SCHEMA = (
-    "round int, pages_fetched long, links_extracted long, sections_discovered long, "
+    "round int, pages_fetched long, frontier_size long, sections_discovered long, "
     "failures long, wall_ms long"
 )
+
+
+def _seq_watermarks(spark: SparkSession, store: SnapshotStore) -> dict:
+    """Fallback when the manifest carries no watermarks (e.g. a store
+    written by an external tool): one max(seq) job per seq-carrying
+    table. Row counts are NOT a safe stand-in — seq spaces carry gaps
+    by design, so count() can undershoot the real high-water mark and a
+    resume would mint colliding seqs."""
+    wm = {}
+    for t in ("frontier", "discovered"):
+        df = store.read(spark, t)
+        mx = None if df is None else df.agg(F.max("seq")).first()[0]
+        wm[t] = 0 if mx is None else int(mx) + 1
+    return wm
 
 
 def crawl(
@@ -103,8 +117,8 @@ def crawl(
         )
         manifest = store.manifest()
     wm = dict(manifest.get("metrics", {}).get("watermarks") or {})
-    wm.setdefault("frontier", store.count("frontier"))
-    wm.setdefault("discovered", store.count("discovered"))
+    if "frontier" not in wm or "discovered" not in wm:
+        wm = {**_seq_watermarks(spark, store), **wm}
     round_no = manifest["round"] + 1
 
     # one pruned pass over the corpus for the whole crawl: the fetch
@@ -113,6 +127,38 @@ def crawl(
     page_urls = pages.select(F.col("url").alias("url_canon")).localCheckpoint(eager=True)
 
     metrics_rows = []
+    rounds_done = 0
+    try:
+        _rounds(
+            spark, pages, store, cfg, robots, max_rounds, wm, round_no,
+            page_urls, metrics_rows,
+        )
+    finally:
+        # graceful interrupt: each round already committed atomically;
+        # flush the per-round metrics rows gathered so far so a killed
+        # run still reports what it did (reference prints progress per
+        # checkpoint, crawler/discovery.py:296-299)
+        if metrics_rows:
+            store.commit(
+                metrics_rows[-1][0],
+                {"metrics": (spark.createDataFrame(metrics_rows, METRICS_SCHEMA), APPEND)},
+                {"phase": "metrics", "watermarks": store.manifest()["metrics"].get("watermarks", wm)},
+            )
+    return _summary(store, metrics_rows)
+
+
+def _rounds(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: SnapshotStore,
+    cfg: RoundConfig,
+    robots: DataFrame | None,
+    max_rounds: int | None,
+    wm: dict,
+    round_no: int,
+    page_urls: DataFrame,
+    metrics_rows: list,
+) -> None:
     rounds_done = 0
     while max_rounds is None or rounds_done < max_rounds:
         if store.count("frontier") == 0:
@@ -133,11 +179,23 @@ def crawl(
         )
         tables: dict[str, tuple[DataFrame, str]] = {
             "frontier": (result.next_frontier, REPLACE),
-            "seen": (result.new_seen, APPEND),
+            # sorted within partitions like the reference's sorted
+            # visited_urls.txt (crawler/discovery.py:147) — also gives
+            # parquet min/max url stats for later point-lookup pruning
+            "seen": (result.new_seen.sortWithinPartitions("url_canon"), APPEND),
             "discovered": (result.new_discovered, APPEND),
         }
         if cfg.use_bloom:
             delta = build_bloom(result.new_seen, cfg.bloom_bits, cfg.bloom_k)
+            if bloom is None and seen is not None:
+                # store has seen rows but no bloom table (use_bloom
+                # toggled on mid-crawl / pre-bloom store): a delta-only
+                # filter would claim the old urls are unseen and bypass
+                # the exact anti-join — rebuild over the FULL seen set
+                # once, then incremental OR-merge resumes next round.
+                delta = merge_blooms(
+                    build_bloom(seen, cfg.bloom_bits, cfg.bloom_k), delta
+                )
             tables["bloom"] = (merge_blooms(bloom, delta), REPLACE)
         derived = None
         if result.extracted is not None:
@@ -189,14 +247,6 @@ def crawl(
         )
         round_no += 1
         rounds_done += 1
-
-    if metrics_rows:
-        store.commit(
-            round_no - 1,
-            {"metrics": (spark.createDataFrame(metrics_rows, METRICS_SCHEMA), APPEND)},
-            {"phase": "metrics", "watermarks": wm},
-        )
-    return _summary(store, metrics_rows)
 
 
 def _summary(store: SnapshotStore, metrics_rows) -> CrawlSummary:

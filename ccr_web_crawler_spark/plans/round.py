@@ -100,13 +100,18 @@ def fetch_join(
     the web; reference network fetch ``crawler/discovery.py:191-220``).
 
     Left-outer semantics (missing page → null html → failure record)
-    WITHOUT shuffling the corpus: inner-join with the candidate side
-    broadcast (pages streams, no exchange/sort of html), then re-attach
-    the misses via an anti-join against ``page_urls`` — the url column
-    only. Pass a pre-materialized ``page_urls`` (the driver checkpoints
-    it once per crawl): projecting it ad hoc from an in-memory fat
-    checkpoint deserializes every column of the corpus per round.
-    On parquet-backed pages the projection is a pruned scan anyway."""
+    WITHOUT shuffling the corpus AND without ever broadcasting anything
+    corpus-sized: inner-join with the candidate side broadcast (pages
+    streams, no exchange/sort of html), then re-attach the misses via an
+    anti-join whose build side is ``hit_urls`` — the *round-sized*
+    intersection of candidates with the corpus URL column, never the
+    corpus itself (a 10^10-URL frontier's corpus URL set cannot
+    broadcast; both sides here are bounded by the round).
+
+    Pass a pre-materialized ``page_urls`` (the driver checkpoints it
+    once per crawl): probing the url-only relation avoids deserializing
+    the fat html column for miss detection; on parquet-backed pages the
+    projection is a pruned scan anyway."""
     pages_proj = pages.select(F.col("url").alias("url_canon"), "html")
     if cfg.fetch_strategy == "broadcast":
         if page_urls is None:
@@ -114,8 +119,13 @@ def fetch_join(
         hit = pages_proj.join(F.broadcast(candidates), "url_canon", "inner").select(
             *candidates.columns, "html"
         )
+        # round-sized: |hit_urls| <= |candidates|, so it is always
+        # broadcastable even when the corpus is not
+        hit_urls = page_urls.select("url_canon").join(
+            F.broadcast(candidates.select("url_canon")), "url_canon", "inner"
+        )
         miss = candidates.join(
-            F.broadcast(page_urls.select("url_canon")), "url_canon", "left_anti"
+            F.broadcast(hit_urls), "url_canon", "left_anti"
         ).withColumn("html", F.lit(None).cast("binary"))
         return hit.unionByName(miss)
     return candidates.join(pages_proj, "url_canon", "left")

@@ -127,15 +127,21 @@ class SnapshotStore:
             delta_rows[name] = sum(v["rows"] for v in lineage.values())
             delta_files[name] = [str(self.root / f) for f in files]
 
-        spark = None
+        if not tables and derived:
+            raise ValueError("derived tables require their source in `tables`")
+        spark = next(iter(tables.values()))[0].sparkSession if tables else None
         for name, (df, mode) in tables.items():
-            spark = df.sparkSession
             _write(name, df, mode)
         for name, (src, fn, mode) in (derived or {}).items():
             if delta_files.get(src):
                 src_df = spark.read.parquet(*delta_files[src])
-            else:  # empty source delta → empty derived delta
-                src_df = tables[src][0]
+            else:
+                # empty source delta → empty derived delta; do NOT fall
+                # back to fn(original DataFrame): that would re-execute
+                # the full source DAG (fetch join + extract UDF) just to
+                # write zero rows — the recompute `derived` exists to
+                # avoid
+                src_df = spark.createDataFrame([], tables[src][0].schema)
             _write(name, fn(src_df), mode)
 
         metrics = dict(metrics or {})
@@ -163,9 +169,15 @@ class SnapshotStore:
         m = self.manifest(version)
         if m is None or table not in m["tables"]:
             return 0
-        return sum(
-            v.get("rows", 0) for v in m["tables"][table].get("lineage", {}).values()
-        )
+        lineage = m["tables"][table].get("lineage", {})
+        if any("rows" not in v for v in lineage.values()):
+            # a silent 0 here would make the driver treat a non-empty
+            # frontier as drained; externally-written manifests must
+            # carry row counts (or be recounted by the caller via Spark)
+            raise ValueError(
+                f"manifest lineage for table {table!r} lacks row counts"
+            )
+        return sum(v["rows"] for v in lineage.values())
 
     def rows_in_round(self, table: str, round_no: int, version: int | None = None) -> int:
         """Rows a specific round contributed to *table* (from lineage)."""
