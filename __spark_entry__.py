@@ -585,6 +585,151 @@ FROM documents
 """
 
 
+# --- retry requeue (reference 3-stage recovery, crawler/extraction.py:219)
+
+
+def q_retry_requeue(spark, sf_dir):
+    """Planted failure history → urls eligible for another attempt:
+    grouped attempt counts below the cap, minus later successes
+    (``plans.round.retry_candidates``; driven end-to-end by
+    ``plans.driver.recover`` in tests/test_retry.py)."""
+    from ccr_web_crawler_spark.plans.round import retry_candidates
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    failures = d.select(
+        url.alias("url"),
+        F.explode(F.sequence(F.lit(1), F.lit(1) + (F.col("doc_id") % 4).cast("int"))).alias("k"),
+    ).select(
+        "url",
+        F.lit("parse_failure").alias("status"),
+        F.lit("planted").alias("note"),
+        F.col("k").alias("round"),
+    )
+    succeeded = d.filter(F.col("doc_id") % 9 == 0).select(url.alias("url_canon"))
+    return retry_candidates(failures, succeeded, max_attempts=3)
+
+
+_RETRY_REQUEUE_SQL = """
+WITH f AS (
+  SELECT concat('u', doc_id::VARCHAR) AS url_canon,
+         (1 + doc_id % 4)::BIGINT AS attempt, doc_id
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT url_canon, attempt FROM f
+WHERE attempt < 3 AND doc_id % 9 != 0
+"""
+
+
+# --- context assembly (reference agent/app.py:45-52)
+
+
+def q_context_assembly(spark, sf_dir):
+    """Top-k retrieval → one prompt-context string per query, pieces
+    concatenated in rank order (``operators.index.assemble_context``)."""
+    from ccr_web_crawler_spark.operators.index import assemble_context
+
+    items = _vecs(spark, sf_dir)
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    topk = knn_join(queries, items, k=5, id_col="vec_id", vec_col="embedding")
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(F.col("source"), F.lit(" CCR "), F.col("doc_id").cast("string")).alias("citation"),
+        F.substring("text", 1, 120).alias("content"),
+    )
+    joined = topk.join(docs, topk.vec_id == docs.doc_id)
+    return assemble_context(joined)
+
+
+_CONTEXT_ASSEMBLY_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+  FROM embeddings e CROSS JOIN q
+), topk AS (
+  SELECT q_id, vec_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored QUALIFY rank <= 5
+)
+SELECT q_id,
+  string_agg(
+    'SECTION: ' || d.source || ' CCR ' || d.doc_id::VARCHAR || chr(10) ||
+    'CONTENT: ' || substr(d.text, 1, 120) || chr(10) || chr(10),
+    '' ORDER BY t.rank) AS context
+FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+GROUP BY q_id
+"""
+
+
+# --- near-dup derived oracles: the signature math itself isn't SQL, but
+#     the EMITTED PAIRS are relationally checkable
+
+
+def q_minhash_exact_check(spark, sf_dir):
+    """MinHash+LSH pairs cross-checked against ground truth: banding has
+    ~99.98% per-pair candidate recall at j=0.8 (16 bands x 4 rows) and
+    every candidate is exact-verified, so on this corpus the emitted set
+    equals the exact-Jaccard pair set — which DuckDB derives
+    independently. A recall miss would surface as a ROWS mismatch."""
+    return dedup.minhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), jaccard_threshold=0.8
+    ).select("id_a", "id_b", "jaccard")
+
+
+_MINHASH_EXACT_SQL = f"""
+WITH docs AS ({_DOCS_DUP_SQL}),
+toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(
+      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), w -> w != '') AS ws
+  FROM docs
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) - 2 < 1 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(
+             range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))) END AS sh
+  FROM toks
+), sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8
+"""
+
+
+def q_simhash_planted(spark, sf_dir):
+    """SimHash pairs restricted to the planted-duplicate id offset: the
+    Charikar block trick has GUARANTEED recall for hamming <= 3 with 4
+    blocks (pigeonhole), and byte-identical planted copies have hamming
+    0 — so exactly the planted set must appear, derivable in SQL without
+    computing any simhash."""
+    pairs = dedup.simhash_near_duplicates(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 100000).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_SIMHASH_PLANTED_SQL = """
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0::BIGINT AS hamming
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
 # --- validation report (reference scripts/validate_data.py)
 
 
@@ -729,8 +874,11 @@ _JSONL_GZ_SQL = "SELECT doc_id, lang, n_chars, text FROM documents"
 
 def q_build_index(spark, sf_dir):
     """Vector-index build (embed UDF over assembled text + idempotent
-    upsert on url — reference ``indexer/ingest.py``); rows-only (the
-    hash-projection embedder isn't SQL)."""
+    upsert on url — reference ``indexer/ingest.py``). The embed VALUES
+    aren't SQL (hash-projection; pinned in tests/test_similarity_index
+    .py) but the index SHAPE is: one row per url after upsert-dedup,
+    384-wide vectors, reference-truncated metadata — all of which the
+    oracle derives independently."""
     from ccr_web_crawler_spark.operators.index import build_index
 
     d = _read(spark, sf_dir, "documents")
@@ -748,7 +896,18 @@ def q_build_index(spark, sf_dir):
         F.col("text").alias("text_plain"),
     )
     idx = build_index(extracted)
-    return idx.select("url", F.size("vec").alias("dim"), F.col("meta.title").alias("title"))
+    return idx.select(
+        "url",
+        F.size("vec").cast("long").alias("dim"),
+        F.col("meta.title").alias("title"),
+    )
+
+
+_BUILD_INDEX_SQL = """
+SELECT doc_id::VARCHAR AS url, 384::BIGINT AS dim,
+  substr(concat('Topic ', doc_id::VARCHAR), 1, 500) AS title
+FROM documents
+"""
 
 
 # --- crawl engine end-to-end (rows-only: HTML extraction isn't SQL)
@@ -794,17 +953,58 @@ def q_crawl_extracted(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """The decode UDF runs for real (mapInPandas over binary payloads);
+    the returned shape is scalar so the driver canon can hash it —
+    n_bytes and the feature width come out of the UDF, and both are
+    independently derivable from the synth recipe (payload = 32-byte
+    sha256 digest x (4 + i%7); 8x8 decode 4x4-pooled -> 2*2*3 = 12
+    features). Feature *values* are sha256-derived (not SQL) — pinned
+    in tests/test_multimodal_streaming.py."""
     from ccr_web_crawler_spark.multimodal import image_features, synth_media
 
     media = synth_media(spark, n=64)
-    return image_features(media)
+    feats = image_features(media)
+    return (
+        media.select("media_id", "kind")
+        .join(feats, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.size("features").cast("long").alias("n_feat"),
+        )
+    )
+
+
+_MULTIMODAL_FEATURES_SQL = """
+SELECT i AS media_id,
+  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  (32 * (4 + i % 7))::BIGINT AS n_bytes,
+  12::BIGINT AS n_feat
+FROM range(64) t(i)
+"""
 
 
 def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing (mapInPandas explode shape). The synth
+    payload is 32*(4 + i%7) bytes, so each of the 4 sampled frames is a
+    full step of len/4 bytes — the oracle derives (media_id, frame_idx,
+    n_bytes) without touching the binary; frame CONTENT is pinned in
+    tests/test_multimodal_streaming.py."""
     from ccr_web_crawler_spark.multimodal import sample_frames, synth_media
 
     media = synth_media(spark, n=32)
-    return sample_frames(media).select("media_id", "frame_idx", F.length("frame").alias("n_bytes"))
+    return sample_frames(media).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("n_bytes"),
+    )
+
+
+_MULTIMODAL_FRAMES_SQL = """
+SELECT i AS media_id, f AS frame_idx, (8 * (4 + i % 7))::BIGINT AS n_bytes
+FROM range(32) t(i) CROSS JOIN range(4) u(f)
+"""
 
 
 # ------------------------------------------------------------------ contract
@@ -849,7 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_keep": q_exact_dedup_keep,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_exact_check": q_minhash_exact_check,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_planted": q_simhash_planted,
         "embedding_neardup": q_embedding_neardup,
         # similarity search
         "cosine_topk": q_cosine_topk,
@@ -862,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "politeness_admit": q_politeness_admit,
         "politeness_slots": q_politeness_slots,
+        "retry_requeue": q_retry_requeue,
+        "context_assembly": q_context_assembly,
         "validate_report": q_validate_report,
         "index_meta": q_index_meta,
         # JSON ingest
@@ -887,6 +1091,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _EXACT_GROUPS_SQL,
         "exact_dedup_keep": _EXACT_KEEP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "minhash_exact_check": _MINHASH_EXACT_SQL,
+        "simhash_planted": _SIMHASH_PLANTED_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "knn_join": _KNN_JOIN_SQL,
@@ -896,8 +1102,13 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _ROBOTS_SQL,
         "politeness_admit": _POLITENESS_ADMIT_SQL,
         "politeness_slots": _POLITENESS_SLOTS_SQL,
+        "retry_requeue": _RETRY_REQUEUE_SQL,
+        "context_assembly": _CONTEXT_ASSEMBLY_SQL,
         "validate_report": _VALIDATE_SQL,
         "index_meta": _INDEX_META_SQL,
         "json_props": _JSON_PROPS_SQL,
         "jsonl_gz_ingest": _JSONL_GZ_SQL,
+        "build_index": _BUILD_INDEX_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     }

@@ -99,7 +99,23 @@ BENCH_QUERIES = [
     "seen_antijoin",
     "global_seq",
     "validate_report",
+    "retry_requeue",
+    "context_assembly",
 ]
+
+
+def load_scaling() -> dict | None:
+    """Most recent scaling-efficiency measurement (north_rule: same job,
+    same input, local[8] vs local[32] ≙ N vs 4N; produced by
+    ``scripts/scaling_bench.py`` which writes SCALING.json). Embedded in
+    the bench line so per-round BENCH records carry the evidence next to
+    the throughput it qualifies."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def main() -> None:
@@ -134,6 +150,9 @@ def main() -> None:
         "cpus": cpus,
         "crawl": crawl_stats,
     }
+    scaling = load_scaling()
+    if scaling is not None:
+        out["scaling"] = scaling
     print(json.dumps(out), flush=True)
     spark.stop()
 

@@ -115,12 +115,22 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     seed: int = 1,
+    est_margin: float | None = 0.25,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard, jaccard).
 
     shingle → minhash → band → bucket-join (candidates only) → exact
     shingle-set Jaccard verification. ``n_bands`` bands of
-    ``n_hashes/n_bands`` rows ⇒ S-curve threshold ≈ (1/b)^(1/r)."""
+    ``n_hashes/n_bands`` rows ⇒ S-curve threshold ≈ (1/b)^(1/r).
+
+    Cost shape: the exact verification drags full shingle arrays through
+    two joins, so candidates are FIRST screened on signature-estimated
+    Jaccard (signatures are n_hashes longs — tiny): pairs with
+    ``est < threshold - est_margin`` are dropped before any shingle
+    join. With 64 hashes the estimator's sd is ~sqrt(t(1-t)/64) ≈ 0.05,
+    so the default 0.25 margin is a 5-sigma band — a true-positive slips
+    past it with probability ~3e-7. Set ``est_margin=None`` for the
+    screen-free exact path."""
     rows_per_band = n_hashes // n_bands
     minhash = make_minhash_udf(n_hashes, seed)
     docs = df.select(
@@ -145,23 +155,34 @@ def minhash_near_duplicates(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    pairs = (
-        cand.join(docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), F.col("sig").alias("sig_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sigs = docs.select("id", "sig")
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     est = matches / F.lit(n_hashes)
+    cand_est = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    )
+    if est_margin is not None:
+        cand_est = cand_est.filter(
+            F.col("est_jaccard") >= jaccard_threshold - est_margin
+        )
+    shs = docs.select("id", "shingles")
+    pairs = (
+        cand_est.join(shs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(shs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(est, 4).alias("est_jaccard"),
+            "est_jaccard",
             F.round(inter / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -260,15 +281,41 @@ def jaccard_similar_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard over all pairs sharing ≥1 shingle —
     JVM-native end to end (explode → self-join on shingle → count),
-    fully SQL-expressible (the DuckDB oracle runs the same algebra)."""
+    fully SQL-expressible (the DuckDB oracle runs the same algebra).
+
+    Scale guard: a stop-shingle shared by k docs emits k² join rows, so
+    at corpus scale pass ``max_df`` to drop shingles whose document
+    frequency exceeds it BEFORE the self-join (one extra groupBy on the
+    exploded shingles — cheap next to the k² it prevents). The cap makes
+    the result approximate (pairs connected only via capped shingles
+    lose intersection mass), so it is opt-in and logged; leave ``None``
+    for the exact, oracle-checkable form, or route truly web-scale
+    inputs to ``minhash_near_duplicates``."""
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     sizes = docs.select("id", F.size("sh").alias("n_sh"))
     ex = docs.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        import logging
+
+        # no-silent-caps: say so (df counts would need an extra action,
+        # so log the policy, not the per-shingle tally)
+        logging.getLogger(__name__).warning(
+            "jaccard_similar_pairs: dropping shingles with document "
+            "frequency > %d — result is approximate (intersections lose "
+            "mass from capped shingles)", max_df,
+        )
+        keep = (
+            ex.groupBy("s").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s")
     inter = (
         ex.alias("l")
         .join(ex.alias("r"), "s")

@@ -66,6 +66,31 @@ def merge_upsert(existing: DataFrame | None, batch: DataFrame, key: str = "url")
     return existing.join(batch.select(key), key, "left_anti").unionByName(batch)
 
 
+def assemble_context(
+    topk: DataFrame,
+    query_col: str = "q_id",
+    rank_col: str = "rank",
+    citation_col: str = "citation",
+    content_col: str = "content",
+) -> DataFrame:
+    """Top-k retrieval rows → one prompt-context string per query
+    (reference ``agent/app.py:45-52``:
+    ``"SECTION: {citation}\\nCONTENT: {content}\\n\\n"`` concatenated in
+    rank order). ``collect_list`` has no ordering guarantee, so pieces
+    are gathered as (rank, piece) structs and ``sort_array``-ed — one
+    shuffle on the query key, k-bounded groups, pure JVM."""
+    piece = F.format_string(
+        "SECTION: %s\nCONTENT: %s\n\n", F.col(citation_col), F.col(content_col)
+    )
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(rank_col).alias("r"), piece.alias("p")))
+        ),
+        lambda s: s.p,
+    )
+    return topk.groupBy(query_col).agg(F.array_join(ordered, "").alias("context"))
+
+
 def search(index: DataFrame, query_text: str, top_k: int = 8) -> DataFrame:
     """Reference search (``agent/retrieve.py:15-45``): embed the query,
     cosine top-k with metadata + score."""

@@ -36,6 +36,8 @@ from ccr_web_crawler_spark.plans.round import (
     FRONTIER_COLS,
     RoundConfig,
     failures_projection,
+    recovery_pass,
+    retry_candidates,
     run_round,
 )
 from ccr_web_crawler_spark.sources.tableio import APPEND, REPLACE, SnapshotStore
@@ -247,6 +249,65 @@ def _rounds(
         )
         round_no += 1
         rounds_done += 1
+
+
+def recover(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: SnapshotStore,
+    cfg: RoundConfig | None = None,
+    max_passes: int | None = None,
+) -> int:
+    """Recovery stage (reference 3-stage recovery,
+    ``crawler/extraction.py:215-267``, ``README.md:64``): re-fetch and
+    re-extract every failed URL with attempts remaining, in waves, until
+    the retry list drains or every url exhausts ``cfg.max_attempts``.
+
+    Each wave is one atomic commit appending to extracted (+ the derived
+    failures sink — a repeated failure adds the attempt row that
+    eventually retires the url), so a killed recovery resumes exactly
+    like the crawl does. Returns the number of waves run. Transient
+    fetch failures (a page missing one round, present later — the
+    network-flake analog in the table-fetch sandbox) are recovered here;
+    deterministic failures self-terminate at the attempt cap."""
+    cfg = cfg or RoundConfig()
+    page_urls = pages.select(F.col("url").alias("url_canon")).localCheckpoint(eager=True)
+    passes = 0
+    # attempt counts grow by 1 per repeated failure, so max_attempts
+    # bounds the loop even without the isEmpty check
+    limit = max_passes if max_passes is not None else cfg.max_attempts
+    for _ in range(limit):
+        failures = store.read(spark, "failures")
+        if failures is None:
+            break
+        ext = store.read(spark, "extracted")
+        succeeded = None
+        if ext is not None:
+            succeeded = ext.filter(
+                F.col("extraction_status") == "success"
+            ).select(F.col("url").alias("url_canon"))
+        retry = retry_candidates(failures, succeeded, cfg.max_attempts)
+        # the retry list is failure-sized (small); materialize once so
+        # the emptiness probe and the fetch share the work
+        retry = retry.localCheckpoint(eager=True)
+        if retry.isEmpty():
+            break
+        round_no = store.manifest()["round"] + 1
+        extracted = recovery_pass(retry, pages, cfg, page_urls)
+        store.commit(
+            round_no,
+            {"extracted": (extracted, APPEND)},
+            {"phase": "recovery"},
+            derived={
+                "failures": (
+                    "extracted",
+                    lambda df, r=round_no: failures_projection(df, r),
+                    APPEND,
+                )
+            },
+        )
+        passes += 1
+    return passes
 
 
 def _summary(store: SnapshotStore, metrics_rows) -> CrawlSummary:

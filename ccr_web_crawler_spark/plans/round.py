@@ -90,6 +90,51 @@ def failures_projection(extracted: DataFrame, round_no: int) -> DataFrame:
     )
 
 
+def retry_candidates(
+    failures: DataFrame,
+    succeeded_urls: DataFrame | None,
+    max_attempts: int = 3,
+) -> DataFrame:
+    """URLs eligible for a recovery attempt (reference 3-stage recovery:
+    every non-success lands in FAILED_FILE and is re-processed from a
+    recovery list, ``crawler/extraction.py:219,247-250``,
+    ``README.md:64``).
+
+    ``failures(url, status, note, round)`` holds ONE row per failed
+    attempt, so the attempt count is a groupBy — no mutable counters.
+    Eligible = attempts < max_attempts AND never succeeded since (a url
+    re-discovered and extracted successfully between passes must not be
+    re-fetched). Output: (url_canon, attempt) with attempt = failures so
+    far. One small shuffle over the failures table — bounded by failure
+    volume (~1% of the corpus per the reference's success rate), never
+    corpus-sized."""
+    agg = failures.groupBy(F.col("url").alias("url_canon")).agg(
+        F.count("*").alias("attempt")
+    )
+    out = agg.filter(F.col("attempt") < max_attempts)
+    if succeeded_urls is not None:
+        out = out.join(
+            succeeded_urls.select("url_canon"), "url_canon", "left_anti"
+        )
+    return out
+
+
+def recovery_pass(
+    retry_urls: DataFrame,
+    pages: DataFrame,
+    cfg: RoundConfig,
+    page_urls: DataFrame | None = None,
+) -> DataFrame:
+    """One extraction-only recovery wave over previously-failed URLs —
+    the reference's repair run (``crawler/extraction.py:215-267``) as a
+    batch: fetch-join the retry worklist, re-run the section extractor.
+    Returns the full extracted records (success AND repeated failures —
+    a repeated failure appends another attempt row via the derived
+    failures sink, which is what advances the attempt counter)."""
+    doc_pages = fetch_join(retry_urls.select("url_canon"), pages, cfg, page_urls)
+    return extract_sections(doc_pages, "url_canon", "html")
+
+
 def fetch_join(
     candidates: DataFrame,
     pages: DataFrame,

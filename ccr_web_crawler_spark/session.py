@@ -15,15 +15,28 @@ def get_spark(
     app_name: str = "ccr_web_crawler_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    task_cpus: int | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(8, int(cpus) if cpus.isdigit() else 32)
+    if task_cpus is None:
+        task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "2"))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Every hot stage in this engine pairs a JVM Arrow feeder thread
+        # with a python worker process that compute CONCURRENTLY, so one
+        # task really occupies two cores. Advertising that (task.cpus=2)
+        # keeps concurrent tasks at cores/2 and the machine exactly
+        # subscribed. Measured on the 20k-page crawl at local[32]:
+        # task.cpus=1 → 64 active threads on 32 vCPUs, futex-storm
+        # convoys, 2677 CPU-s, 97 pages/s; task.cpus=2 → 1087 CPU-s,
+        # 215 pages/s. Same rule on a real cluster: size
+        # executor-cores/task slots to leave one core per python worker.
+        .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

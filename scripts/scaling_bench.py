@@ -4,14 +4,23 @@ local[32] on this 32-core host, the sandbox stand-in for N vs 4N
 executors — and report both throughputs plus
 ``efficiency = (throughput_32 / throughput_8) / 4``.
 
-Methodology for this sandbox (documented in BASELINE.md): the VM runs
-under heavy, bursty hypervisor CPU steal (cumulative steal ≈ 40-50% of
-busy time in /proc/stat), so each level runs ``repeats`` times
-interleaved (8, 32, 8, 32, ...) and the MIN wall time per level is
-used — min is the standard estimator under external contention. Each
-run also records the process-tree CPU seconds (steal-insensitive): the
-ratio of CPU-seconds between levels shows work inflation from extra
-parallelism, separating engine scalability from hypervisor throttling.
+Methodology for this sandbox (documented in BASELINE.md):
+
+* each level is PINNED to exactly its core count (``taskset -c 0-N-1``)
+  — unconfined, a local[8] job's python workers borrow the host's idle
+  24 cores and the small level is overstated;
+* the engine advertises ``spark.task.cpus=2`` (session.py): every hot
+  stage pairs a JVM Arrow feeder thread with a python worker, so a task
+  truly occupies two cores — without this, local[32] runs 64 active
+  threads on 32 vCPUs and collapses into futex-convoy scheduling
+  (measured: 2677 CPU-s / 97 p/s → 1087 CPU-s / 215 p/s at 20k pages);
+* the host shows bursty multi-minute noise windows (kernel "sched: DL
+  replenish lagged" periods where sys-time inflates 3-4x), so each
+  level runs ``repeats`` times interleaved (8, 32, 8, 32, ...) and the
+  MIN wall per level is used — min is the standard estimator under
+  external contention. Each run also records process-tree CPU seconds:
+  the CPU ratio between levels shows work inflation from parallelism,
+  separating engine scalability from host throttling.
 
 Each level runs in its own subprocess (a JVM's master is fixed at
 startup). Prints one JSON line; paste the numbers into BASELINE.md.
@@ -108,9 +117,13 @@ print("RESULT " + json.dumps({{
 
 def run_level(cpus: int, n_pages: int, mode: str = "threads") -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, mode=mode)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+    # pin the level to exactly `cpus` physical CPUs: without confinement
+    # a local[8] job's python workers silently borrow the host's other
+    # 24 cores, overstating the small level and understating scaling
+    # efficiency — the cpuset is the sandbox rendition of "an N-executor
+    # cluster owns N executors' worth of cores".
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -134,7 +147,7 @@ def main() -> None:
     best_hi = max(runs[hi_n], key=lambda r: r["pages_per_sec"])
     factor = hi_n / lo_n
     eff = (best_hi["pages_per_sec"] / best_lo["pages_per_sec"]) / factor
-    print(json.dumps({
+    result = {
         "n_pages": n_pages,
         "repeats": repeats,
         "levels": [lo_n, hi_n],
@@ -145,7 +158,11 @@ def main() -> None:
         "best_hi_pps": best_hi["pages_per_sec"],
         "speedup": round(best_hi["pages_per_sec"] / best_lo["pages_per_sec"], 3),
         "scaling_efficiency": round(eff, 3),
-    }))
+    }
+    print(json.dumps(result))
+    # persist next to bench.py so per-round BENCH records embed it
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

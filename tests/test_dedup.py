@@ -100,3 +100,29 @@ def test_embedding_near_duplicates_lsh_vs_exact(spark):
     # identical vectors always share every band; near vectors should too
     assert (0, 1) in lsh
     assert lsh <= exact  # LSH candidates verified exactly: no false pairs
+
+
+def test_minhash_est_prefilter_same_pairs(spark, docs):
+    """The signature-estimate screen must not change the emitted set."""
+    with_screen = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()
+    }
+    no_screen = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_duplicates(
+            docs, jaccard_threshold=0.5, est_margin=None
+        ).collect()
+    }
+    assert with_screen == no_screen
+
+
+def test_jaccard_max_df_caps_stop_shingles(spark):
+    # 'x' appears in every doc (df=4 > cap) and is each pair's only
+    # overlap: with max_df=1 no pair shares a kept shingle
+    rows = [(i, f"x w{i} y{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = jaccard_similar_pairs(df, n=1, threshold=0.1).collect()
+    assert len(uncapped) == 6  # all pairs share 'x'
+    capped = jaccard_similar_pairs(df, n=1, threshold=0.1, max_df=1).collect()
+    assert capped == []

@@ -97,3 +97,23 @@ def test_search_returns_relevant_topk(spark):
     hits = search(idx, "body text one", top_k=8).collect()
     assert len(hits) == 2
     assert hits[0].url == "u1" and hits[0].score > hits[1].score
+
+
+def test_assemble_context_rank_order(spark):
+    from ccr_web_crawler_spark.operators.index import assemble_context
+
+    topk = spark.createDataFrame(
+        [
+            (0, 2, "cite B", "body B"),
+            (0, 1, "cite A", "body A"),
+            (1, 1, "cite C", "body C"),
+        ],
+        "q_id long, rank long, citation string, content string",
+    )
+    got = {r.q_id: r.context for r in assemble_context(topk).collect()}
+    # reference agent/app.py:45-52 piece format, concatenated by rank
+    assert got[0] == (
+        "SECTION: cite A\nCONTENT: body A\n\n"
+        "SECTION: cite B\nCONTENT: body B\n\n"
+    )
+    assert got[1] == "SECTION: cite C\nCONTENT: body C\n\n"
