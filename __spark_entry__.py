@@ -116,7 +116,9 @@ def _dec_sum(col: F.Column, prec: str = "22,6") -> F.Column:
 
 
 def q_tpch_q1(spark, sf_dir):
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
     cnt = F.count("*")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -143,7 +145,9 @@ SELECT l_returnflag, l_linestatus,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
   COUNT(*) AS count_order
-FROM lineitem GROUP BY l_returnflag, l_linestatus
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
 """
 
 
@@ -467,6 +471,30 @@ def q_lsh_ann(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return lsh_ann(queries, items, k=5, id_col="vec_id", vec_col="embedding", dim=64)
+
+
+def q_lsh_ann_planted(spark, sf_dir):
+    """LSH ANN restricted to a guaranteed-recall scenario: the queries
+    ARE corpus vectors, and an identical vector agrees with itself on
+    every hyperplane → shares every band → is always a candidate, and
+    exact re-rank puts it at rank 1 with cosine 1.0. So the rank-1 rows
+    are fully derivable in SQL without computing any signature (a recall
+    bug would surface as a ROWS/VALUES mismatch). General-case recall
+    vs brute force is pinned in tests/test_similarity_index.py."""
+    items = _vecs(spark, sf_dir)
+    queries = items.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_ann(queries, items, k=5, id_col="vec_id", vec_col="embedding", dim=64)
+    return out.filter(F.col("rank") == 1).select(
+        "q_id", F.col("vec_id").alias("nn_id"), "score"
+    )
+
+
+_LSH_ANN_PLANTED_SQL = """
+SELECT vec_id AS q_id, vec_id AS nn_id, 1.0 AS score
+FROM embeddings WHERE vec_id < 8
+"""
 
 
 # --- crawl-engine primitives cross-checked relationally (SURVEY §2.4/2.5)
@@ -1057,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
         "lsh_ann": q_lsh_ann,
+        "lsh_ann_planted": q_lsh_ann_planted,
         # crawl primitives
         "url_canonicalize": q_url_canonicalize,
         "seen_antijoin": q_seen_antijoin,
@@ -1096,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "knn_join": _KNN_JOIN_SQL,
+        "lsh_ann_planted": _LSH_ANN_PLANTED_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "seen_antijoin": _SEEN_ANTIJOIN_SQL,
         "global_seq": _GLOBAL_SEQ_SQL,

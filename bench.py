@@ -106,10 +106,10 @@ BENCH_QUERIES = [
 
 def load_scaling() -> dict | None:
     """Most recent scaling-efficiency measurement (north_rule: same job,
-    same input, local[8] vs local[32] ≙ N vs 4N; produced by
-    ``scripts/scaling_bench.py`` which writes SCALING.json). Embedded in
-    the bench line so per-round BENCH records carry the evidence next to
-    the throughput it qualifies."""
+    same input, N vs 4N executors — local-cluster[1,2] vs
+    local-cluster[4,2]; produced by ``scripts/scaling_bench.py`` which
+    writes SCALING.json). Embedded in the bench line so per-round BENCH
+    records carry the evidence next to the throughput it qualifies."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
     try:
         with open(path) as f:

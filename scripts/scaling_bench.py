@@ -1,31 +1,44 @@
 """Scaling-efficiency evidence (BASELINE.json north_rule): run the SAME
-crawl job on the SAME input at two parallelism levels — local[8] vs
-local[32] on this 32-core host, the sandbox stand-in for N vs 4N
-executors — and report both throughputs plus
-``efficiency = (throughput_32 / throughput_8) / 4``.
+crawl job on the SAME input at two cluster sizes — N vs 4N executors —
+and report both throughputs plus
+``efficiency = (throughput_hi / throughput_lo) / 4``.
 
-Methodology for this sandbox (documented in BASELINE.md):
+Headline configuration: ``executors`` mode, 1 vs 4 executors
+(``local-cluster[N,2,4096]`` — N real executor JVMs x 2 cores each,
+independent heaps/GC/python workers, the package shipped to executors
+as a --py-files-style zip), each level pinned to its own cpuset
+(2N+2 cores: 2 per executor + 2 for the driver at both levels).
 
-* each level is PINNED to exactly its core count (``taskset -c 0-N-1``)
-  — unconfined, a local[8] job's python workers borrow the host's idle
-  24 cores and the small level is overstated;
-* the engine advertises ``spark.task.cpus=2`` (session.py): every hot
-  stage pairs a JVM Arrow feeder thread with a python worker, so a task
-  truly occupies two cores — without this, local[32] runs 64 active
-  threads on 32 vCPUs and collapses into futex-convoy scheduling
-  (measured: 2677 CPU-s / 97 p/s → 1087 CPU-s / 215 p/s at 20k pages);
-* the host shows bursty multi-minute noise windows (kernel "sched: DL
-  replenish lagged" periods where sys-time inflates 3-4x), so each
-  level runs ``repeats`` times interleaved (8, 32, 8, 32, ...) and the
-  MIN wall per level is used — min is the standard estimator under
-  external contention. Each run also records process-tree CPU seconds:
-  the CPU ratio between levels shows work inflation from parallelism,
-  separating engine scalability from host throttling.
+Why 1-vs-4 and not 8-vs-32 threads — measured host characterization
+(all at 20k pages; details in BASELINE.md):
 
-Each level runs in its own subprocess (a JVM's master is fixed at
-startup). Prints one JSON line; paste the numbers into BASELINE.md.
+* ``busy_cores`` (from /proc/stat over the run) PLATEAUS at ~10 in
+  every wide run: this "32-vCPU" VM delivers only ~10 cores of
+  simultaneous physical compute, so no experiment above that ceiling
+  can express a 4x speedup — wide levels measure the hypervisor, not
+  the engine;
+* process-tree CPU-seconds for the identical job: ~530-700 at <=4
+  concurrent tasks (local[4], local[8], local[16]+task.cpus=4) vs
+  ~1570-2230 at 8 concurrent tasks and ~2230-5010 at 16 — a 3-4x
+  work inflation that switches on with >4 concurrent python-paired
+  tasks regardless of core count, the signature of vCPU
+  co-scheduling/bandwidth throttling, not engine overhead (same
+  shuffle/plan shape at every level);
+* the host also shows bursty multi-minute noise windows (kernel
+  "sched: DL replenish lagged", sys-time inflates 3-4x; identical
+  runs measured 72.9s vs 304.0s), so each level runs ``repeats``
+  times interleaved (lo, hi, lo, hi, ...) and the MIN wall per level
+  is used — min is the standard estimator under external contention.
 
-Usage: python scripts/scaling_bench.py [n_pages] [repeats]
+Each run records its own process-subtree CPU seconds (descendants of
+this run only — a blanket per-comm glob would count unrelated
+sessions): the CPU ratio between levels separates engine scalability
+from host throttling. Each level runs in its own subprocess (a JVM's
+master is fixed at startup). Prints one JSON line and writes
+SCALING.json; BASELINE.md carries the narrative.
+
+Usage: python scripts/scaling_bench.py [n_pages] [repeats] [lo] [hi] [mode]
+  mode: "executors" (local-cluster, default for evidence) | "threads"
 """
 
 from __future__ import annotations
@@ -88,19 +101,37 @@ with tempfile.TemporaryDirectory() as tmp:
 d = [b - a for a, b in zip(st0, st1)]
 busy = d[0] + d[1] + d[2]          # user+nice+system
 steal = d[7] if len(d) > 7 else 0  # hypervisor steal during the run
-# JVM + python-worker CPU from /proc (the JVM is a py4j child that is
-# not reaped by us, so getrusage(RUSAGE_CHILDREN) misses it)
+# JVM + python-worker CPU from /proc, restricted to THIS process's
+# descendant tree (a blanket java/python glob would count unrelated
+# sessions on the host and poison the work-inflation signal); includes
+# each process's reaped-children counters so dead pyspark workers are
+# still accounted via their daemon parent. Taken BEFORE spark.stop()
+# while the JVM is alive; getrusage(CHILDREN) then catches the reaped
+# JVM as a cross-check.
 import glob
 tick = os.sysconf("SC_CLK_TCK")
-proc_cpu = 0.0
+me = os.getpid()
+ppids, cpus_by_pid = dict(), dict()  # noqa: C408 — CHILD is a .format template; literal braces would need escaping
 for stat in glob.glob("/proc/[0-9]*/stat"):
     try:
-        parts = open(stat).read().rsplit(") ", 1)[1].split()
-        comm = open(stat).read().split("(", 1)[1].rsplit(")", 1)[0]
-        if comm in ("java",) or "pyspark.daemon" in comm or comm.startswith("python"):
-            proc_cpu += (int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])) / tick
+        raw = open(stat).read()
+        parts = raw.rsplit(") ", 1)[1].split()
+        pid = int(raw.split(" ", 1)[0])
+        ppids[pid] = int(parts[1])
+        cpus_by_pid[pid] = (
+            int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+        ) / tick
     except (OSError, IndexError, ValueError):
         pass
+def _mine(pid):
+    seen = set()
+    while pid not in seen and pid > 1:
+        if pid == me:
+            return True
+        seen.add(pid)
+        pid = ppids.get(pid, 0)
+    return False
+proc_cpu = sum(c for pid, c in cpus_by_pid.items() if _mine(pid))
 spark.stop()
 ru_s = resource.getrusage(resource.RUSAGE_SELF)
 ru_c = resource.getrusage(resource.RUSAGE_CHILDREN)
@@ -122,20 +153,32 @@ def run_level(cpus: int, n_pages: int, mode: str = "threads") -> dict:
     # 24 cores, overstating the small level and understating scaling
     # efficiency — the cpuset is the sandbox rendition of "an N-executor
     # cluster owns N executors' worth of cores".
-    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT from cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    # threads mode: `cpus` = thread count = cores. executors mode:
+    # `cpus` = executor count, each local-cluster executor owns 2 cores;
+    # +2 cores for the driver JVM (a real cluster's driver node is also
+    # not carved out of executor cores) — same +2 at both levels.
+    n_cores = cpus if mode == "threads" else 2 * cpus + 2
+    cmd = ["taskset", "-c", f"0-{n_cores - 1}", sys.executable, "-c", code]
+    last_log = None
+    for attempt in range(2):  # local-cluster startup is occasionally flaky
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        last_log = f"/tmp/scaling_child_{mode}{cpus}_try{attempt}.log"
+        with open(last_log, "w") as f:
+            f.write("==== STDOUT ====\n" + out.stdout + "\n==== STDERR ====\n" + out.stderr)
+        print(f"[scaling] cpus={cpus} attempt {attempt} produced no RESULT; "
+              f"full child log: {last_log}", flush=True)
+    raise RuntimeError(f"no RESULT from cpus={cpus}; see {last_log}")
 
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    lo_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    hi_n = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    mode = sys.argv[5] if len(sys.argv) > 5 else "threads"
+    lo_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    hi_n = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    mode = sys.argv[5] if len(sys.argv) > 5 else "executors"
     runs: dict[int, list[dict]] = {lo_n: [], hi_n: []}
     for i in range(repeats):
         for cpus in (lo_n, hi_n):
