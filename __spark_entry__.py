@@ -497,6 +497,56 @@ FROM embeddings WHERE vec_id < 8
 """
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN (scale path #2 next to LSH): deterministic centroids,
+    corpus bucketed by nearest centroid, search probes nprobe cells.
+    Rows-only (centroid training isn't SQL); recall pinned in
+    tests/test_ivf.py; the planted companion below is oracle-checked."""
+    from ccr_web_crawler_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+
+    items = _vecs(spark, sf_dir)
+    cents = train_centroids(items, n_centroids=16)
+    index = build_ivf_index(items, cents)
+    queries = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_search(queries, index, cents, k=5, nprobe=4)
+    return out.select("q_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_ivf_ann_planted(spark, sf_dir):
+    """IVF with self-queries: a query identical to a corpus vector
+    shares its centroid by construction, so at any nprobe the rank-1
+    hit is itself at cosine 1.0 — derivable in SQL with no centroid
+    math (a cell-routing bug would break ROWS/VALUES)."""
+    from ccr_web_crawler_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+
+    items = _vecs(spark, sf_dir)
+    cents = train_centroids(items, n_centroids=16)
+    index = build_ivf_index(items, cents)
+    queries = items.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_search(queries, index, cents, k=5, nprobe=1)
+    return out.filter(F.col("rank") == 1).select(
+        "q_id", F.col("vec_id").alias("nn_id"), "score"
+    )
+
+
+_IVF_ANN_PLANTED_SQL = """
+SELECT vec_id AS q_id, vec_id AS nn_id, 1.0 AS score
+FROM embeddings WHERE vec_id < 8
+"""
+
+
 # --- crawl-engine primitives cross-checked relationally (SURVEY §2.4/2.5)
 
 
@@ -1086,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "lsh_ann": q_lsh_ann,
         "lsh_ann_planted": q_lsh_ann_planted,
+        "ivf_ann": q_ivf_ann,
+        "ivf_ann_planted": q_ivf_ann_planted,
         # crawl primitives
         "url_canonicalize": q_url_canonicalize,
         "seen_antijoin": q_seen_antijoin,
@@ -1126,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "knn_join": _KNN_JOIN_SQL,
         "lsh_ann_planted": _LSH_ANN_PLANTED_SQL,
+        "ivf_ann_planted": _IVF_ANN_PLANTED_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "seen_antijoin": _SEEN_ANTIJOIN_SQL,
         "global_seq": _GLOBAL_SEQ_SQL,

@@ -49,6 +49,11 @@ def get_spark(
         # -Xmx is a cap, not a reservation; the bench page corpora plus
         # per-round checkpoints overflow a small heap into GC churn
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # only meaningful off local[*] (local-cluster / real clusters);
+        # local-cluster's worker-capacity arg does NOT size the executor
+        # heap — without this executors run at the 1g default and OOM on
+        # html-bearing Arrow batches
+        .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

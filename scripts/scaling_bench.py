@@ -4,7 +4,7 @@ and report both throughputs plus
 ``efficiency = (throughput_hi / throughput_lo) / 4``.
 
 Headline configuration: ``executors`` mode, 1 vs 4 executors
-(``local-cluster[N,2,4096]`` — N real executor JVMs x 2 cores each,
+(``local-cluster[N,2,8192]`` — N real executor JVMs x 2 cores each,
 independent heaps/GC/python workers, the package shipped to executors
 as a --py-files-style zip), each level pinned to its own cpuset
 (2N+2 cores: 2 per executor + 2 for the driver at both levels).
@@ -67,7 +67,7 @@ if mode == "executors":
     # rendition of "N vs 4N executors": independent heaps/GC/python
     # workers per executor, scheduler does real cross-executor work.
     # The package ships to executors as a --py-files-style zip.
-    master = f"local-cluster[{{cpus}},2,4096]"
+    master = f"local-cluster[{{cpus}},2,8192]"
     spark = get_spark(app_name="scaling", master=master, shuffle_partitions=2 * cpus)
     import shutil
     zip_base = os.path.join(tempfile.mkdtemp(prefix="pyfiles_"), "ccr_web_crawler_spark")
