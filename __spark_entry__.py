@@ -993,8 +993,11 @@ FROM documents
 
 def q_crawl_round0(spark, sf_dir):
     """Seed → round 0 over the deterministic synthetic web: fetch-join,
-    link extraction, classification, section extraction. Rows-only here;
-    byte-identical text + BFS equivalence are pinned in tests/."""
+    link extraction, classification, sequencing. Oracle: the planted
+    graph is deterministic, so the expected frontier is derived by the
+    independent python BFS (``_crawl_round0_oracle_sql``) and compared
+    as literal SQL; byte-identical text + full BFS equivalence are
+    additionally pinned in tests/."""
     from ccr_web_crawler_spark.plans.driver import init_frontier
     from ccr_web_crawler_spark.plans.round import RoundConfig, run_round
     from ccr_web_crawler_spark.sources.synth import synth_pages, synth_seeds
@@ -1007,7 +1010,10 @@ def q_crawl_round0(spark, sf_dir):
 
 
 def q_crawl_extracted(spark, sf_dir):
-    """Two full crawl rounds incl. extraction; returns section records."""
+    """Two full crawl rounds incl. extraction; returns section records.
+    Oracle: two-level python BFS over the planted graph
+    (``_crawl_extracted_oracle_sql``) emits the expected records as
+    literal SQL."""
     from ccr_web_crawler_spark.plans.driver import crawl
     from ccr_web_crawler_spark.plans.round import RoundConfig
     from ccr_web_crawler_spark.sources.synth import synth_pages, synth_robots, synth_seeds
@@ -1025,6 +1031,147 @@ def q_crawl_extracted(spark, sf_dir):
         out = ext.select("url", "guid", "section_number", "extraction_status", "text_plain")
         out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp store
     return out
+
+
+# --- planted-graph crawl oracles: the synthetic site is a pure function
+#     of (n_pages, n_hosts, seed), so a single-threaded python BFS — the
+#     same oracle tests/test_crawl_equivalence.py pins the engine against
+#     — derives the EXPECTED rows, which are then emitted as literal SQL
+#     (VALUES) for DuckDB. Independence: the python side is a sequential
+#     deque walk; the engine side is distributed DataFrame algebra — they
+#     share only the leaf extract/render fixtures (whose byte-exactness
+#     is separately pinned by the golden tests).
+
+
+def _py_site(n_pages: int = 200, n_hosts: int = 4) -> dict[str, str]:
+    from ccr_web_crawler_spark.sources.synth import plan_site, render_page
+
+    site = {}
+    for p in plan_site(n_pages, n_hosts):
+        row = {
+            "url": p.url, "host": p.host, "kind": p.kind, "page_no": p.page_no,
+            "status": p.status, "hrefs": p.hrefs, "n_paras": p.n_paras,
+        }
+        html, _ = render_page(row, 42)
+        site[p.url] = html.decode("utf-8")
+    return site
+
+
+def _py_is_nav(u: str) -> bool:  # crawler/discovery.py:69-71
+    return "/calregs/Browse/" in u or u.endswith("/calregs/Index")
+
+
+def _py_is_doc(u: str) -> bool:  # crawler/discovery.py:74-76
+    return "/calregs/Document/" in u
+
+
+def _sql_str(v) -> str:
+    if v is None:
+        return "NULL"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _crawl_round0_oracle_sql() -> str:
+    """Expected ``next_frontier`` of round 0: the seed page's in-scope
+    nav links in first-occurrence document order, seq = 0-based rank
+    (nav kind sorts first in the engine's fused (kind, depth,
+    parent_seq, link_pos) sequencing, so navs take ranks 0..n-1)."""
+    from ccr_web_crawler_spark.functions.htmlx.links import extract_links
+    from ccr_web_crawler_spark.functions.urlnorm import url_host
+
+    site = _py_site()
+    seed = "https://host0.example/calregs/Index"
+    navs = [u for u in extract_links(site[seed], seed) if _py_is_nav(u)]
+    rows = ", ".join(
+        f"({_sql_str(u)}, {_sql_str(url_host(u))}, 1, {i})"
+        for i, u in enumerate(navs)
+    )
+    return (
+        "SELECT url_canon, host, depth::INTEGER AS depth, seq::BIGINT AS seq "
+        f"FROM (VALUES {rows}) AS t(url_canon, host, depth, seq)"
+    )
+
+
+def _crawl_extracted_oracle_sql() -> str:
+    """Expected section records after two engine rounds: a sequential
+    two-level BFS (pop → mark visited → extract links → docs discovered
+    this level get extracted) over the deterministic site."""
+    from ccr_web_crawler_spark.functions.htmlx.links import extract_links
+    from ccr_web_crawler_spark.functions.htmlx.sections import extract_record
+
+    site = _py_site()
+    frontier = ["https://host0.example/calregs/Index"]
+    visited: set[str] = set()
+    discovered: set[str] = set()
+    records = []
+    for _ in range(2):
+        next_front: list[str] = []
+        new_docs: list[str] = []
+        for url in frontier:
+            if url in visited:
+                continue
+            visited.add(url)
+            html = site.get(url)
+            if html is None:
+                continue
+            for link in extract_links(html, url):
+                if _py_is_nav(link):
+                    next_front.append(link)
+                elif _py_is_doc(link) and link not in discovered:
+                    discovered.add(link)
+                    new_docs.append(link)
+        for d in new_docs:
+            r = extract_record(site[d], d)
+            records.append(
+                f"({_sql_str(d)}, {_sql_str(r['guid'])}, "
+                f"{_sql_str(r['section_number'])}, "
+                f"{_sql_str(r['extraction_status'])}, {_sql_str(r['text_plain'])})"
+            )
+        frontier = next_front
+    rows = ", ".join(records)
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(url, guid, section_number, extraction_status, text_plain)"
+    )
+
+
+# --- stateful streaming admission, batch form (SURVEY §2.9 scale-up):
+#     cumulative per-host cap == windowed row_number in SQL
+
+
+def q_admit_stream(spark, sf_dir):
+    """Batch-mode ``admit_stream`` (one micro-batch of the stream; the
+    cross-batch state carry is pinned in tests/test_streaming_stateful
+    .py): per-host lifetime cap enforced in (depth, seq) order with a
+    cumulative 1-based admit index."""
+    from ccr_web_crawler_spark.streaming.stateful import admit_stream
+
+    ev = _read(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string")).alias("host"),
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url_canon"),
+        (F.col("event_id") % 5).cast("int").alias("depth"),
+        F.col("event_id").alias("seq"),
+    )
+    return admit_stream(frontier, max_per_host=40)
+
+
+_ADMIT_STREAM_SQL = """
+WITH f AS (
+  SELECT 'h' || (user_id % 7)::VARCHAR AS host,
+         'u' || event_id::VARCHAR AS url_canon,
+         (event_id % 5)::INTEGER AS depth,
+         event_id AS seq
+  FROM events
+), ranked AS (
+  SELECT host, url_canon, depth, seq,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY depth, seq) AS admit_no
+  FROM f
+)
+SELECT host, url_canon, depth, seq, admit_no::BIGINT AS admit_no
+FROM ranked WHERE admit_no <= 40
+"""
 
 
 # --- multimodal plumbing (rows-only; libs stubbed per brief)
@@ -1153,7 +1300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "jsonl_gz_ingest": q_jsonl_gz_ingest,
         "build_index": q_build_index,
-        # crawl end-to-end + multimodal (rows-only)
+        # streaming admission (batch form of the stateful operator)
+        "admit_stream": q_admit_stream,
+        # crawl end-to-end + multimodal
         "crawl_round0": q_crawl_round0,
         "crawl_extracted": q_crawl_extracted,
         "multimodal_features": q_multimodal_features,
@@ -1192,6 +1341,9 @@ def oracle_sql() -> dict[str, str]:
         "json_props": _JSON_PROPS_SQL,
         "jsonl_gz_ingest": _JSONL_GZ_SQL,
         "build_index": _BUILD_INDEX_SQL,
+        "admit_stream": _ADMIT_STREAM_SQL,
+        "crawl_round0": _crawl_round0_oracle_sql(),
+        "crawl_extracted": _crawl_extracted_oracle_sql(),
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     }

@@ -2,11 +2,11 @@
 columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, partition-sized batch processing,
-UDF signatures) is real and tested; the codec step is STUBBED because
-this container ships no image/audio libraries: ``decode_image`` tries
-Pillow and otherwise produces a deterministic fake decode derived from
-the bytes (clearly marked). Swapping in a real decoder changes only the
-body of ``_decode_one``.
+UDF signatures) is real and tested. ``_decode_one`` uses Pillow when it
+is installed and the bytes parse as an image; otherwise it falls back
+to a deterministic fake decode derived from the bytes (clearly marked)
+so the container — which ships no image/audio libraries — still
+exercises the full plumbing.
 
 Scale design: media bytes stay columnar (never collected), batches are
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``, and
@@ -30,10 +30,11 @@ MEDIA_SCHEMA = (
 )
 
 try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # noqa: F401
+    from PIL import Image
 
     HAVE_PIL = True
 except ImportError:
+    Image = None
     HAVE_PIL = False
 
 
@@ -46,8 +47,21 @@ def _fake_decode(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
 
 
 def _decode_one(payload: bytes, resize_to: tuple[int, int]) -> np.ndarray:
-    if HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("real decode path: wire PIL.Image.open here")
+    """Decode + resize one payload to an (H, W, 3) uint8 array.
+
+    With Pillow available, real image bytes go through the real decoder;
+    payloads Pillow cannot parse (e.g. the deterministic synth fixtures)
+    fall back to ``_fake_decode`` so the plumbing keeps the same shape
+    with or without the codec installed."""
+    if HAVE_PIL:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                rgb = img.convert("RGB").resize((resize_to[1], resize_to[0]))
+                return np.asarray(rgb, dtype=np.uint8)
+        except Exception:
+            pass
     return _fake_decode(payload, resize_to)
 
 

@@ -19,17 +19,59 @@ Design rules at 10^10 rows:
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pandas.util import hash_array
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from ccr_web_crawler_spark.functions.textstats import fingerprint, normalize_ws
+
+# segmented-reduction chunk bound: ≤2^14 flattened tokens per numpy
+# slab keeps the (tokens × 64) intermediate ≈8MB — large enough to
+# amortize ufunc dispatch, small enough that the slab is reusable and
+# never triggers fresh large-page mappings per batch (this host's
+# memory subsystem shows multi-second first-touch stalls on ~100MB+
+# allocations; a preallocated 8MB buffer sidesteps them entirely)
+_CHUNK_TOKENS = 1 << 14
+
+
+def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic 64-bit string hash (pandas' siphash —
+    Cython loop, ~20× a python-level per-string hash; fixed key, stable
+    across processes). Input: object array of str."""
+    return hash_array(tokens, categorize=False)
+
+
+def _doc_chunks(token_lists: "pd.Series") -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Split a batch of per-doc token lists into slabs of whole docs
+    with ≤ _CHUNK_TOKENS flattened tokens (single oversized docs go
+    alone). Yields (flat_hashed uint64, doc_starts, doc_lens)."""
+    lists = [
+        np.asarray(t, dtype=object) if t is not None else np.empty(0, dtype=object)
+        for t in token_lists
+    ]
+    i = 0
+    while i < len(lists):
+        j, total = i, 0
+        while j < len(lists) and (j == i or total + len(lists[j]) <= _CHUNK_TOKENS):
+            total += len(lists[j])
+            j += 1
+        chunk = lists[i:j]
+        lens = np.array([len(c) for c in chunk])
+        flat = (
+            np.concatenate(chunk)
+            if total
+            else np.empty(0, dtype=object)
+        )
+        starts = np.zeros(len(chunk), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        yield _hash_tokens(flat) if total else np.empty(0, dtype=np.uint64), starts, lens
+        i = j
 
 # ---------------------------------------------------------------- exact
 
@@ -84,24 +126,38 @@ def _minhash_params(n_hashes: int, seed: int = 1):
 
 def make_minhash_udf(n_hashes: int = 64, seed: int = 1):
     """array<string> shingles → array<long> minhash signature.
-    Base hash = crc32 (deterministic across processes/versions)."""
-    a, b, p = _minhash_params(n_hashes, seed)
+
+    Fully vectorized per Arrow batch: every shingle in the batch is
+    hashed in ONE ``hash_array`` call, the ``n_hashes`` derived hashes
+    are a single (tokens × n_hashes) uint64 multiply-add (wraparound
+    mod 2^64 — a multiply-shift universal family), and the per-doc min
+    is a segmented ``np.minimum.reduceat``. No per-doc python loop —
+    this was the bench's hottest python (per-string crc32) before."""
+    a, b, _ = _minhash_params(n_hashes, seed)
+    A, B = a.astype(np.uint64), b.astype(np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
     def _minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for shingle_lists in batches:
-            out = []
-            for shingles in shingle_lists:
-                if shingles is None or len(shingles) == 0:
-                    out.append([0] * n_hashes)
-                    continue
-                base = np.array(
-                    [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.int64
-                )
-                # (a*h + b) mod p, min over shingles, vectorized
-                sig = ((a[None, :] * base[:, None] + b[None, :]) % p).min(axis=0)
-                out.append(sig.tolist())
-            yield pd.Series(out)
+        buf = np.empty((_CHUNK_TOKENS, n_hashes), dtype=np.uint64)
+        with np.errstate(over="ignore"):  # wraparound mod 2^64 is intended
+            for shingle_lists in batches:
+                out: list = []
+                for flat, starts, lens in _doc_chunks(shingle_lists):
+                    sigs = np.zeros((len(lens), n_hashes), dtype=np.uint64)
+                    if flat.size:
+                        if flat.size > buf.shape[0]:  # single oversized doc
+                            buf = np.empty((flat.size, n_hashes), dtype=np.uint64)
+                        derived = buf[: flat.size]
+                        np.multiply(flat[:, None], A[None, :], out=derived)
+                        np.add(derived, B[None, :], out=derived)
+                        nonempty = lens > 0
+                        # starts of nonempty docs are strictly increasing →
+                        # reduceat segments are exactly the docs
+                        sigs[nonempty] = np.minimum.reduceat(
+                            derived, starts[nonempty], axis=0
+                        )
+                    out.extend(s.astype(np.int64).tolist() for s in sigs)
+                yield pd.Series(out)
 
     return _minhash
 
@@ -193,29 +249,47 @@ def minhash_near_duplicates(
 
 
 def make_simhash_udf(n_bits: int = 64):
-    """array<string> tokens → simhash long (crc32 token hashes → ±1 bit
-    votes → sign). Vectorized numpy; deterministic."""
+    """array<string> tokens → simhash long (Charikar sign-of-votes).
+
+    Vectorized per Arrow batch: one ``hash_array`` over every token in
+    the batch, bit extraction as a (tokens × n_bits) matrix, per-doc
+    vote counting via segmented ``np.add.reduceat``, and bit packing as
+    a weights dot-product — no per-doc or per-bit python loops. A bit
+    is set when strictly more than half the tokens vote 1 (ties → 0,
+    matching the previous ±1-sum-positive rule)."""
 
     @pandas_udf(LongType())
     def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         bit_idx = np.arange(n_bits, dtype=np.uint64)
-        for token_lists in batches:
-            out = []
-            for toks in token_lists:
-                if toks is None or len(toks) == 0:
-                    out.append(0)
-                    continue
-                h32 = np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
-                # widen to 64 bits deterministically
-                h64 = h32 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
-                bits = (h64[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = np.where(bits == 1, 1, -1).sum(axis=0)
-                val = 0
-                for i in range(n_bits):
-                    if votes[i] > 0:
-                        val |= 1 << i
-                out.append(val - (1 << 64) if val >= 1 << 63 else val)
-            yield pd.Series(out, dtype="int64")
+        weights = np.uint64(1) << bit_idx
+        shift_buf = np.empty((_CHUNK_TOKENS, n_bits), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for token_lists in batches:
+                out: list = []
+                for flat, starts, lens in _doc_chunks(token_lists):
+                    vals = np.zeros(len(lens), dtype=np.uint64)
+                    if flat.size:
+                        if flat.size > shift_buf.shape[0]:  # oversized doc
+                            shift_buf = np.empty(
+                                (flat.size, n_bits), dtype=np.uint64
+                            )
+                        shifted = shift_buf[: flat.size]
+                        np.right_shift(flat[:, None], bit_idx[None, :], out=shifted)
+                        np.bitwise_and(shifted, np.uint64(1), out=shifted)
+                        bits = shifted.astype(np.int32)
+                        nonempty = lens > 0
+                        ones = np.add.reduceat(bits, starts[nonempty], axis=0)
+                        majority = (
+                            2 * ones.astype(np.int64)
+                        ) > lens[nonempty][:, None]
+                        packed = np.multiply(
+                            majority.astype(np.uint64),
+                            weights[None, :],
+                            dtype=np.uint64,
+                        )
+                        vals[nonempty] = packed.sum(axis=1, dtype=np.uint64)
+                    out.extend(vals.astype(np.int64).tolist())
+                yield pd.Series(out, dtype="int64")
 
     return _simhash
 

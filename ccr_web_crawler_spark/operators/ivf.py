@@ -62,6 +62,11 @@ def train_centroids(
         "__h", F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed))
     )
     sample = [r[0] for r in ordered.orderBy("__h").limit(sample_cap).collect()]
+    if not sample:
+        raise ValueError("train_centroids: input corpus is empty — nothing to train on")
+    # fewer sample rows than requested centroids → train what the data
+    # supports instead of silently padding or crashing downstream
+    n_centroids = min(n_centroids, len(sample))
     m = _normalize(np.asarray(sample, dtype=np.float64))
     cents = m[:n_centroids].copy()
     for _ in range(lloyd_iters):

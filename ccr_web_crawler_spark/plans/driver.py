@@ -79,6 +79,31 @@ METRICS_SCHEMA = (
 )
 
 
+def _check_metrics_schema(store: SnapshotStore) -> None:
+    """Fail fast when resuming a store whose metrics table was written
+    by a different engine version. The metrics table is APPEND-mode;
+    parquet happily mixes files with different column sets and
+    spark.read then fills the disagreement with nulls SILENTLY — a
+    schema rename (e.g. links_extracted → frontier_size) must be an
+    error, not a corrupted report."""
+    m = store.manifest()
+    if m is None:
+        return
+    files = (m["tables"].get("metrics") or {}).get("files") or []
+    if not files:
+        return
+    import pyarrow.parquet as pq
+
+    existing = pq.ParquetFile(str(store.root / files[0])).schema_arrow.names
+    expected = [c.split()[0] for c in METRICS_SCHEMA.split(", ")]
+    if existing != expected:
+        raise ValueError(
+            "resuming a store with an incompatible metrics schema: "
+            f"stored columns {existing} != engine columns {expected}; "
+            "migrate or recreate the store before appending"
+        )
+
+
 def _seq_watermarks(spark: SparkSession, store: SnapshotStore) -> dict:
     """Fallback when the manifest carries no watermarks (e.g. a store
     written by an external tool): one max(seq) job per seq-carrying
@@ -105,6 +130,7 @@ def crawl(
     """Run (or resume) the crawl until the frontier drains or
     ``max_rounds`` more rounds complete."""
     cfg = cfg or RoundConfig()
+    _check_metrics_schema(store)
     manifest = store.manifest()
     if manifest is None:
         frontier = init_frontier(spark, seeds, cfg)
@@ -123,13 +149,9 @@ def crawl(
         wm = {**_seq_watermarks(spark, store), **wm}
     round_no = manifest["round"] + 1
 
-    # one pruned pass over the corpus for the whole crawl: the fetch
-    # miss-detection anti-join probes this instead of re-projecting the
-    # fat pages relation every round
-    page_urls = pages.select(F.col("url").alias("url_canon")).localCheckpoint(eager=True)
+    page_urls = _corpus_urls(pages)
 
     metrics_rows = []
-    rounds_done = 0
     try:
         _rounds(
             spark, pages, store, cfg, robots, max_rounds, wm, round_no,
@@ -139,14 +161,44 @@ def crawl(
         # graceful interrupt: each round already committed atomically;
         # flush the per-round metrics rows gathered so far so a killed
         # run still reports what it did (reference prints progress per
-        # checkpoint, crawler/discovery.py:296-299)
+        # checkpoint, crawler/discovery.py:296-299). The flush itself
+        # runs Spark + store machinery — if _rounds died because THOSE
+        # are broken, a second exception here would mask the original
+        # failure, so the cleanup commit never raises past a log line.
         if metrics_rows:
-            store.commit(
-                metrics_rows[-1][0],
-                {"metrics": (spark.createDataFrame(metrics_rows, METRICS_SCHEMA), APPEND)},
-                {"phase": "metrics", "watermarks": store.manifest()["metrics"].get("watermarks", wm)},
-            )
+            try:
+                store.commit(
+                    metrics_rows[-1][0],
+                    {"metrics": (spark.createDataFrame(metrics_rows, METRICS_SCHEMA), APPEND)},
+                    {"phase": "metrics", "watermarks": store.manifest()["metrics"].get("watermarks", wm)},
+                )
+            except Exception as flush_err:  # noqa: BLE001
+                import sys
+
+                print(
+                    f"metrics flush failed during cleanup: {flush_err!r}",
+                    file=sys.stderr,
+                )
     return _summary(store, metrics_rows)
+
+
+def _corpus_urls(pages: DataFrame) -> DataFrame:
+    """The corpus-URL probe relation for fetch miss-detection.
+
+    For a file-backed corpus (the production shape — parquet/Iceberg)
+    this stays LAZY: each use is a footer-pruned single-column scan,
+    cheap and fault-tolerant. ``localCheckpoint`` here would pin a
+    corpus-sized relation (~1 TB of urls at 10^10 pages) in
+    non-replicated executor block storage for the whole crawl — one
+    lost executor kills the run. Only a non-file corpus (in-memory test
+    frames, where every re-use would re-run the synthesis UDF) is
+    checkpointed, and that path is test-scale by construction."""
+    proj = pages.select(F.col("url").alias("url_canon"))
+    try:
+        file_backed = bool(pages.inputFiles())
+    except Exception:  # noqa: BLE001 — conservatively treat as in-memory
+        file_backed = False
+    return proj if file_backed else proj.localCheckpoint(eager=True)
 
 
 def _rounds(
@@ -271,7 +323,7 @@ def recover(
     network-flake analog in the table-fetch sandbox) are recovered here;
     deterministic failures self-terminate at the attempt cap."""
     cfg = cfg or RoundConfig()
-    page_urls = pages.select(F.col("url").alias("url_canon")).localCheckpoint(eager=True)
+    page_urls = _corpus_urls(pages)
     passes = 0
     # attempt counts grow by 1 per repeated failure, so max_attempts
     # bounds the loop even without the isEmpty check

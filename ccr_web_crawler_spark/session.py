@@ -11,6 +11,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _master_task_slot_cores(master: str) -> int:
+    """Cores available to a single task under this master: total cores
+    for local[N], per-executor cores for local-cluster[n,C,mem].
+    Unknown masters (yarn, spark://) return a large number — the
+    cluster manager, not this clamp, owns slot sizing there."""
+    import re
+
+    m = re.match(r"local\[(\d+|\*)\]", master)
+    if m:
+        return os.cpu_count() or 1 if m.group(1) == "*" else int(m.group(1))
+    m = re.match(r"local-cluster\[\s*\d+\s*,\s*(\d+)", master)
+    if m:
+        return int(m.group(1))
+    return 1 << 16
+
+
 def get_spark(
     app_name: str = "ccr_web_crawler_spark",
     master: str | None = None,
@@ -23,6 +39,10 @@ def get_spark(
         shuffle_partitions = max(8, int(cpus) if cpus.isdigit() else 32)
     if task_cpus is None:
         task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "2"))
+    # spark.task.cpus greater than the scheduler's per-slot core count
+    # means no task can EVER be scheduled — local[1] with task.cpus=2
+    # hangs silently. Clamp to what the master actually offers.
+    task_cpus = max(1, min(task_cpus, _master_task_slot_cores(master)))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -42,16 +42,18 @@ def admit_stream(
     host-scoped cumulative admit index (1-based), the streaming analog
     of the batch admit window's row_number.
 
-    Works identically on a batch DataFrame (falls back to a plain
-    groupBy-apply with empty initial state each group — i.e. one
-    "batch" of the stream), which is how the pytest oracle pins the
-    per-batch semantics.
+    Also accepts a BATCH DataFrame (``applyInPandasWithState`` rejects
+    batch plans, so the batch path runs the identical per-group logic
+    through plain ``applyInPandas`` with zero initial state — i.e. one
+    micro-batch of the stream). The batch form is SQL-expressible
+    (windowed row_number ≤ cap) and oracle-checked by the driver's
+    ``admit_stream`` CORRECTNESS entry; the cross-batch state carry is
+    pinned in tests/test_streaming_stateful.py.
     """
 
-    def admit(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (admitted,) = state.get if state.exists else (0,)
+    def _admit_chunks(
+        pdfs: Iterator[pd.DataFrame], admitted: int
+    ) -> tuple[pd.DataFrame | None, int]:
         remaining = max_per_host - admitted
         # the group's rows arrive as Arrow-batch chunks; keep only the
         # best `remaining` by (depth, seq) across chunks — bounded
@@ -63,17 +65,36 @@ def admit_stream(
                 chunk = pdf[["host", "url_canon", "depth", "seq"]]
                 best = chunk if best is None else pd.concat([best, chunk])
                 best = best.sort_values(["depth", "seq"]).head(remaining)
-        if best is not None and len(best):
-            out = best.sort_values(["depth", "seq"]).copy()
-            out["admit_no"] = range(admitted + 1, admitted + len(out) + 1)
-            admitted += len(out)
+        if best is None or not len(best):
+            return None, admitted
+        out = best.sort_values(["depth", "seq"]).copy()
+        out["admit_no"] = range(admitted + 1, admitted + len(out) + 1)
+        return out, admitted + len(out)
+
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (admitted,) = state.get if state.exists else (0,)
+        out, admitted = _admit_chunks(pdfs, admitted)
+        if out is not None:
             yield out
         state.update((admitted,))
 
-    return frontier.groupBy("host").applyInPandasWithState(
-        admit,
-        outputStructType=output_schema,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    if frontier.isStreaming:
+        return frontier.groupBy("host").applyInPandasWithState(
+            admit,
+            outputStructType=output_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def admit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        out, _ = _admit_chunks(iter([pdf]), 0)
+        if out is None:
+            return pd.DataFrame(
+                {"host": [], "url_canon": [], "depth": [], "seq": [], "admit_no": []}
+            )
+        return out
+
+    return frontier.groupBy("host").applyInPandas(admit_batch, schema=output_schema)
