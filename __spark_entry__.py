@@ -1136,6 +1136,63 @@ def _crawl_extracted_oracle_sql() -> str:
     )
 
 
+def q_crawl_backlog(spark, sf_dir):
+    """Politeness-budgeted crawl to drain in hot/cold BACKLOG mode
+    (``RoundConfig.backlog_hot_rows``): per-round work is bounded (hot
+    holds the per-host best H rows; overflow lives in an append-only
+    cold table consumed via a per-host watermark), yet the final
+    URL-seen set must equal plain BFS reachability — budgets, demotion
+    and refill defer, never drop. H=2 is set BELOW the per-host budget
+    (floor(6.0/1.5)=4) so every round must refill from cold. Oracle:
+    the independent python BFS's visited set as literal SQL;
+    round-by-round equivalence vs the monolithic engine (incl. metrics
+    and admission order) is pinned in tests/test_backlog.py."""
+    from ccr_web_crawler_spark.plans.driver import crawl
+    from ccr_web_crawler_spark.plans.round import RoundConfig
+    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_seeds
+    from ccr_web_crawler_spark.sources.tableio import SnapshotStore
+
+    pages = synth_pages(spark, n_pages=120, n_hosts=4)
+    with tempfile.TemporaryDirectory() as tmp:
+        store = SnapshotStore(os.path.join(tmp, "bk"))
+        crawl(
+            spark, pages, synth_seeds(spark), store,
+            RoundConfig(
+                extract=False, round_seconds=6.0,
+                backlog_hot_rows=2, seq_partitions=4,
+            ),
+        )
+        seen = store.read(spark, "seen").select("url_canon")
+        out = spark.createDataFrame(seen.collect(), seen.schema)  # detach from tmp store
+    return out
+
+
+def _crawl_backlog_oracle_sql() -> str:
+    """BFS reachability (visited nav set) over the 120-page planted
+    graph — the reference loop with MAX_CONCURRENT=1; budgets reorder
+    but must not change the set (``crawler/discovery.py:275-299``)."""
+    from collections import deque
+
+    from ccr_web_crawler_spark.functions.htmlx.links import extract_links
+
+    site = _py_site(120, 4)
+    queue = deque(["https://host0.example/calregs/Index"])
+    visited: set[str] = set()
+    while queue:
+        url = queue.popleft()
+        if url in visited:
+            continue
+        visited.add(url)
+        html = site.get(url)
+        if html is None:
+            continue  # fetch failure: visited, no links (ref :250-251)
+        for link in extract_links(html, url):
+            if _py_is_nav(link):
+                queue.append(link)
+    rows = ", ".join(f"({_sql_str(u)})" for u in sorted(visited))
+    return f"SELECT url_canon FROM (VALUES {rows}) AS t(url_canon)"
+
+
 # --- stateful streaming admission, batch form (SURVEY §2.9 scale-up):
 #     cumulative per-host cap == windowed row_number in SQL
 
@@ -1305,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl end-to-end + multimodal
         "crawl_round0": q_crawl_round0,
         "crawl_extracted": q_crawl_extracted,
+        "crawl_backlog": q_crawl_backlog,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
     }
@@ -1344,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "admit_stream": _ADMIT_STREAM_SQL,
         "crawl_round0": _crawl_round0_oracle_sql(),
         "crawl_extracted": _crawl_extracted_oracle_sql(),
+        "crawl_backlog": _crawl_backlog_oracle_sql(),
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     }

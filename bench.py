@@ -70,8 +70,18 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
             spark, pages, synth_seeds(spark), store, cfg, max_rounds=32
         )
         wall = time.time() - t0
+        # recovery stage timed separately (reference 3-stage recovery):
+        # the headline stays fetch+extract; retry cost is tracked so a
+        # regression in the failure path can't hide
+        from ccr_web_crawler_spark.plans.driver import recover
+
+        t1 = time.time()
+        recovery_passes = recover(spark, pages, store, cfg)
+        recovery_wall = time.time() - t1
     done = summary.visited + summary.extracted
     return {
+        "recovery_passes": recovery_passes,
+        "recovery_wall_s": round(recovery_wall, 2),
         "n_pages": n_pages,
         "rounds": summary.rounds,
         "visited": summary.visited,

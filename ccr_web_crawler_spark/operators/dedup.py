@@ -99,15 +99,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ------------------------------------------------------------- shingles
 
 
+def tokenize(text_col):
+    """Whitespace words of the ws/case-normalized text, as a Column."""
+    return F.filter(F.split(normalize_ws(text_col), " "), lambda w: w != "")
+
+
 def word_shingles(text_col, n: int = 3):
-    """n-word shingles as a native Column (distinct, order-free set)."""
-    words = F.filter(F.split(normalize_ws(text_col), " "), lambda w: w != "")
+    """n-word shingles as a native Column (distinct, order-free set).
+
+    Per-position ``element_at`` lookups instead of ``slice`` — building
+    k n-element array slices just to join them allocates k subarrays per
+    doc; indexing n scalars per position does not (measurably faster in
+    whole-stage codegen)."""
+    words = tokenize(text_col)
+    if n == 1:
+        return F.array_distinct(words)
     k = F.size(words) - (n - 1)
     return F.when(k < 1, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+                ),
             )
         )
     )
@@ -124,37 +138,68 @@ def _minhash_params(n_hashes: int, seed: int = 1):
     return a, b, p
 
 
-def make_minhash_udf(n_hashes: int = 64, seed: int = 1):
-    """array<string> shingles → array<long> minhash signature.
+_POLY = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
-    Fully vectorized per Arrow batch: every shingle in the batch is
-    hashed in ONE ``hash_array`` call, the ``n_hashes`` derived hashes
-    are a single (tokens × n_hashes) uint64 multiply-add (wraparound
-    mod 2^64 — a multiply-shift universal family), and the per-doc min
-    is a segmented ``np.minimum.reduceat``. No per-doc python loop —
-    this was the bench's hottest python (per-string crc32) before."""
+
+def make_minhash_udf(n_hashes: int = 64, shingle_n: int = 3, seed: int = 1):
+    """array<string> WORDS → array<long> minhash signature over the
+    doc's n-word shingle set — without ever materializing a shingle
+    string anywhere (building k ``concat_ws(slice(words))`` strings per
+    doc JVM-side was the measured bottleneck of the whole minhash
+    query, ~6.5s of 7s at sf0.1).
+
+    Fully vectorized per Arrow batch:
+    * ONE ``hash_array`` call hashes every word in the batch;
+    * shingle hashes are a rolling degree-(n-1) polynomial over the
+      flat word-hash array (n-1 fused multiply-adds over shifted
+      views, uint64 wraparound); positions whose window crosses a doc
+      boundary are masked to u64-max;
+    * the ``n_hashes`` derived hashes are a (shingles × n_hashes)
+      multiply-shift, and the per-doc min is one segmented
+      ``np.minimum.reduceat``.
+
+    Shingle MULTIplicity doesn't matter under min-aggregation, so the
+    missing ``array_distinct`` changes nothing; docs with < n words get
+    the all-zeros signature (same convention as the empty shingle set
+    before)."""
     a, b, _ = _minhash_params(n_hashes, seed)
     A, B = a.astype(np.uint64), b.astype(np.uint64)
+    U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     @pandas_udf(ArrayType(LongType()))
     def _minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         buf = np.empty((_CHUNK_TOKENS, n_hashes), dtype=np.uint64)
         with np.errstate(over="ignore"):  # wraparound mod 2^64 is intended
-            for shingle_lists in batches:
+            for word_lists in batches:
                 out: list = []
-                for flat, starts, lens in _doc_chunks(shingle_lists):
+                for flat, starts, lens in _doc_chunks(word_lists):
                     sigs = np.zeros((len(lens), n_hashes), dtype=np.uint64)
-                    if flat.size:
-                        if flat.size > buf.shape[0]:  # single oversized doc
-                            buf = np.empty((flat.size, n_hashes), dtype=np.uint64)
-                        derived = buf[: flat.size]
-                        np.multiply(flat[:, None], A[None, :], out=derived)
+                    n_sh = np.maximum(lens - (shingle_n - 1), 0)
+                    L = flat.size
+                    n_pos = max(L - (shingle_n - 1), 0)
+                    if n_pos and n_sh.sum():
+                        # rolling polynomial over shifted views
+                        sh = flat[:n_pos] * _POLY
+                        for j in range(1, shingle_n):
+                            sh += flat[j : n_pos + j]
+                            if j < shingle_n - 1:
+                                sh *= _POLY
+                        # mask windows that cross doc boundaries
+                        docidx = np.repeat(np.arange(len(lens)), lens)
+                        sh[docidx[:n_pos] != docidx[shingle_n - 1 :]] = U64MAX
+                        if n_pos > buf.shape[0]:  # single oversized doc
+                            buf = np.empty((n_pos, n_hashes), dtype=np.uint64)
+                        derived = buf[:n_pos]
+                        np.multiply(sh[:, None], A[None, :], out=derived)
                         np.add(derived, B[None, :], out=derived)
-                        nonempty = lens > 0
-                        # starts of nonempty docs are strictly increasing →
-                        # reduceat segments are exactly the docs
-                        sigs[nonempty] = np.minimum.reduceat(
-                            derived, starts[nonempty], axis=0
+                        derived[sh == U64MAX] = U64MAX
+                        has = n_sh > 0
+                        # starts of shingled docs are strictly increasing
+                        # and < n_pos → reduceat segments cover each doc's
+                        # windows (masked cross-boundary rows are u64-max,
+                        # invisible to min)
+                        sigs[has] = np.minimum.reduceat(
+                            derived, starts[has], axis=0
                         )
                     out.extend(s.astype(np.int64).tolist() for s in sigs)
                 yield pd.Series(out)
@@ -175,24 +220,26 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard, jaccard).
 
-    shingle → minhash → band → bucket-join (candidates only) → exact
-    shingle-set Jaccard verification. ``n_bands`` bands of
+    tokenize → minhash (rolling shingle hashes inside the UDF — no
+    shingle strings materialize for the corpus) → band → bucket-join
+    (candidates only) → exact shingle-set Jaccard verification computed
+    ONLY for docs that appear in a candidate pair. ``n_bands`` bands of
     ``n_hashes/n_bands`` rows ⇒ S-curve threshold ≈ (1/b)^(1/r).
 
-    Cost shape: the exact verification drags full shingle arrays through
-    two joins, so candidates are FIRST screened on signature-estimated
-    Jaccard (signatures are n_hashes longs — tiny): pairs with
-    ``est < threshold - est_margin`` are dropped before any shingle
-    join. With 64 hashes the estimator's sd is ~sqrt(t(1-t)/64) ≈ 0.05,
-    so the default 0.25 margin is a 5-sigma band — a true-positive slips
-    past it with probability ~3e-7. Set ``est_margin=None`` for the
-    screen-free exact path."""
+    Cost shape at 10^10 docs: the corpus-wide pass is split+hash only;
+    string shingles — the expensive construction — are rebuilt for the
+    candidate-sized doc subset alone. Candidates are FIRST screened on
+    signature-estimated Jaccard (signatures are n_hashes longs — tiny):
+    pairs with ``est < threshold - est_margin`` are dropped before any
+    shingle join. With 64 hashes the estimator's sd is
+    ~sqrt(t(1-t)/64) ≈ 0.05, so the default 0.25 margin is a 5-sigma
+    band — a true-positive slips past it with probability ~3e-7. Set
+    ``est_margin=None`` for the screen-free exact path."""
     rows_per_band = n_hashes // n_bands
-    minhash = make_minhash_udf(n_hashes, seed)
+    minhash = make_minhash_udf(n_hashes, shingle_n, seed)
     docs = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash(F.col("shingles")))
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("words")
+    ).select("id", minhash(F.col("words")).alias("sig"))
     docs = docs.localCheckpoint(eager=False)
 
     bands = docs.select(
@@ -227,7 +274,17 @@ def minhash_near_duplicates(
         cand_est = cand_est.filter(
             F.col("est_jaccard") >= jaccard_threshold - est_margin
         )
-    shs = docs.select("id", "shingles")
+    # exact string-shingle sets ONLY for docs surviving into a candidate
+    # pair (semi-join: candidate ids are pair-bounded, broadcastable)
+    cand_ids = (
+        cand_est.select(F.col("id_a").alias("id"))
+        .unionByName(cand_est.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).join(cand_ids, "id", "left_semi")
     pairs = (
         cand_est.join(shs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(shs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
@@ -376,19 +433,49 @@ def jaccard_similar_pairs(
     ex = docs.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
         import logging
+        import threading
 
-        # no-silent-caps: say so (df counts would need an extra action,
-        # so log the policy, not the per-shingle tally)
-        logging.getLogger(__name__).warning(
+        from pyspark.sql import Observation
+
+        log = logging.getLogger(__name__)
+        # no-silent-caps: say the policy up front, then report the
+        # MEASURED tally. The tally rides the caller's own action via
+        # an Observation on the df-count aggregate already in the plan
+        # (zero extra jobs); a daemon thread logs it when it lands.
+        log.warning(
             "jaccard_similar_pairs: dropping shingles with document "
             "frequency > %d — result is approximate (intersections lose "
             "mass from capped shingles)", max_df,
         )
-        keep = (
-            ex.groupBy("s").agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("s")
+        obs = Observation()
+        stats = ex.groupBy("s").agg(F.count("*").alias("__df")).observe(
+            obs,
+            F.sum(F.when(F.col("__df") > max_df, 1).otherwise(0)).alias(
+                "capped_shingles"
+            ),
+            F.sum(F.when(F.col("__df") > max_df, F.col("__df")).otherwise(0)).alias(
+                "capped_occurrences"
+            ),
+            F.count("*").alias("distinct_shingles"),
         )
+
+        def _report() -> None:
+            try:
+                got = obs.get  # blocks until the caller's first action
+            except Exception:
+                # the caller never ran an action before its session
+                # closed — nothing to report; a best-effort telemetry
+                # thread must never surface an unhandled exception
+                return
+            log.warning(
+                "jaccard_similar_pairs(max_df=%d): dropped %s/%s distinct "
+                "shingles (%s doc-occurrences of intersection mass)",
+                max_df, got["capped_shingles"], got["distinct_shingles"],
+                got["capped_occurrences"],
+            )
+
+        threading.Thread(target=_report, daemon=True).start()
+        keep = stats.filter(F.col("__df") <= max_df).select("s")
         ex = ex.join(keep, "s")
     inter = (
         ex.alias("l")

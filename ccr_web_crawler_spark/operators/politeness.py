@@ -84,22 +84,40 @@ def admit_per_host(
     """
     if round_seconds is None:
         return frontier, frontier.limit(0)
-    order = [F.col(c) for c in order_cols]
     budget = F.greatest(
         F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
     )
-    salt = F.pmod(F.xxhash64(F.col("url_canon")), F.lit(n_salts)) if "url_canon" in frontier.columns else F.pmod(F.xxhash64(*order), F.lit(n_salts))
+    return split_top_k_per_host(frontier, budget, order_cols, n_salts)
+
+
+def split_top_k_per_host(
+    frontier: DataFrame,
+    k,
+    order_cols: tuple[str, ...] = ("depth", "seq"),
+    n_salts: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """(top-k rows per host by ``order_cols``, the rest) via the salted
+    two-level window described in ``admit_per_host`` — no host's full
+    slice ever sorts in one task. ``k`` is an int or a Column (may
+    reference the row's own columns, e.g. a per-host budget)."""
+    k = F.lit(k) if isinstance(k, int) else k
+    order = [F.col(c) for c in order_cols]
+    salt = (
+        F.pmod(F.xxhash64(F.col("url_canon")), F.lit(n_salts))
+        if "url_canon" in frontier.columns
+        else F.pmod(F.xxhash64(*order), F.lit(n_salts))
+    )
     w1 = Window.partitionBy("host", "__salt").orderBy(*order)
     pre = frontier.withColumn("__salt", salt).withColumn(
         "__rk1", F.row_number().over(w1)
     )
-    survivors = pre.filter(F.col("__rk1") <= budget)
-    defer1 = pre.filter(F.col("__rk1") > budget).drop("__salt", "__rk1")
+    survivors = pre.filter(F.col("__rk1") <= k)
+    rest1 = pre.filter(F.col("__rk1") > k).drop("__salt", "__rk1")
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = survivors.withColumn("__rk", F.row_number().over(w2))
-    admitted = ranked.filter(F.col("__rk") <= budget).drop("__salt", "__rk1", "__rk")
-    defer2 = ranked.filter(F.col("__rk") > budget).drop("__salt", "__rk1", "__rk")
-    return admitted, defer2.unionByName(defer1)
+    top = ranked.filter(F.col("__rk") <= k).drop("__salt", "__rk1", "__rk")
+    rest2 = ranked.filter(F.col("__rk") > k).drop("__salt", "__rk1", "__rk")
+    return top, rest2.unionByName(rest1)
 
 
 def assign_fetch_slots(admitted: DataFrame, round_start: float = 0.0) -> DataFrame:

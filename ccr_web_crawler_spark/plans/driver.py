@@ -34,6 +34,7 @@ from ccr_web_crawler_spark.operators.ids import assign_global_seq
 from ccr_web_crawler_spark.operators.seen import build_bloom, merge_blooms
 from ccr_web_crawler_spark.plans.round import (
     FRONTIER_COLS,
+    FRONTIER_SCHEMA,
     RoundConfig,
     failures_projection,
     recovery_pass,
@@ -51,6 +52,10 @@ class CrawlSummary:
     extracted: int
     failures: int
     queue_remaining: int
+    # physical rows in the cold backlog (backlog mode only) — an UPPER
+    # bound on live deferred urls: consumed ranges stay on disk until
+    # compact_cold() rewrites them away
+    cold_backlog: int = 0
     metrics: list = field(default_factory=list)
 
 
@@ -111,10 +116,14 @@ def _seq_watermarks(spark: SparkSession, store: SnapshotStore) -> dict:
     by design, so count() can undershoot the real high-water mark and a
     resume would mint colliding seqs."""
     wm = {}
-    for t in ("frontier", "discovered"):
+    for t, key in (
+        ("frontier", "frontier"),
+        ("frontier_cold", "frontier"),  # demoted rows carry live seqs too
+        ("discovered", "discovered"),
+    ):
         df = store.read(spark, t)
         mx = None if df is None else df.agg(F.max("seq")).first()[0]
-        wm[t] = 0 if mx is None else int(mx) + 1
+        wm[key] = max(wm.get(key, 0), 0 if mx is None else int(mx) + 1)
     return wm
 
 
@@ -213,9 +222,13 @@ def _rounds(
     page_urls: DataFrame,
     metrics_rows: list,
 ) -> None:
+    backlog = cfg.backlog_hot_rows is not None and cfg.round_seconds is not None
     rounds_done = 0
     while max_rounds is None or rounds_done < max_rounds:
-        if store.count("frontier") == 0:
+        # cold's physical count includes logically-consumed rows, so a
+        # nonzero count only means "worth running a round to find out" —
+        # the post-round check below breaks when a round proves sterile
+        if store.count("frontier") == 0 and store.count("frontier_cold") == 0:
             break
         frontier = store.read(spark, "frontier")
         seen = store.read(spark, "seen")
@@ -225,11 +238,18 @@ def _rounds(
         ext = store.read(spark, "extracted")
         if ext is not None:
             extracted_urls = ext.select(F.col("url").alias("url_canon"))
+        cold = bound = None
+        if backlog:
+            cold = store.read(spark, "frontier_cold")
+            bound = store.read(spark, "frontier_bound")
+            if frontier is None:
+                frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
 
         t0 = time.time()
         result = run_round(
             spark, round_no, frontier, seen, discovered, extracted_urls,
             pages, robots, cfg, max_seq=wm, bloom=bloom, page_urls=page_urls,
+            cold=cold, bound=bound,
         )
         tables: dict[str, tuple[DataFrame, str]] = {
             "frontier": (result.next_frontier, REPLACE),
@@ -239,6 +259,10 @@ def _rounds(
             "seen": (result.new_seen.sortWithinPartitions("url_canon"), APPEND),
             "discovered": (result.new_discovered, APPEND),
         }
+        if result.demoted is not None:
+            tables["frontier_cold"] = (result.demoted, APPEND)
+        if result.bound is not None:
+            tables["frontier_bound"] = (result.bound, REPLACE)
         if cfg.use_bloom:
             delta = build_bloom(result.new_seen, cfg.bloom_bits, cfg.bloom_k)
             if bloom is None and seen is not None:
@@ -273,10 +297,15 @@ def _rounds(
             # in run_round, offset = max of both marks), so advance both
             # watermarks past everything sequenced; the frontier delta
             # over-counts deferred rows — gaps are fine (only the
-            # (depth, seq) ORDER is semantic).
+            # (depth, seq) ORDER is semantic). frontier_cold MUST count:
+            # in backlog mode the hot delta alone is capped at hosts x H,
+            # which can be SMALLER than the links sequenced this round —
+            # the next base would collide with seqs already minted on
+            # cold rows and corrupt the global (depth, seq) order.
             nxt = (
                 max(_base["frontier"], _base["discovered"])
                 + deltas.get("frontier", 0)
+                + deltas.get("frontier_cold", 0)
                 + deltas.get("discovered", 0)
             )
             return {
@@ -301,6 +330,16 @@ def _rounds(
         )
         round_no += 1
         rounds_done += 1
+        if (
+            backlog
+            and store.count("frontier") == 0
+            and store.rows_in_round("seen", round_no - 1, version) == 0
+        ):
+            # sterile round: hot drained AND the refill (which definitely
+            # ran — hot was empty) promoted nothing admissible, so every
+            # physical cold row is consumed or dead. Without this check
+            # the nonzero physical cold count would loop forever.
+            break
 
 
 def recover(
@@ -370,5 +409,36 @@ def _summary(store: SnapshotStore, metrics_rows) -> CrawlSummary:
         extracted=store.count("extracted"),
         failures=store.count("failures"),
         queue_remaining=store.count("frontier"),
+        cold_backlog=store.count("frontier_cold"),
         metrics=metrics_rows,
     )
+
+
+def compact_cold(spark: SparkSession, store: SnapshotStore) -> int:
+    """Physically drop consumed cold-backlog rows (those below the
+    per-host ``frontier_bound`` watermark). Consumption during the crawl
+    is a logical delete — the watermark — so ordinary rounds never
+    rewrite the backlog; this optional maintenance rewrite reclaims the
+    space, like an Iceberg compaction. Returns rows kept."""
+    cold = store.read(spark, "frontier_cold")
+    if cold is None:
+        return 0
+    bound = store.read(spark, "frontier_bound")
+    live = cold
+    if bound is not None:
+        live = (
+            cold.join(F.broadcast(bound), "host", "left")
+            .filter(
+                F.col("b_depth").isNull()
+                | (
+                    F.struct(F.col("depth"), F.col("seq"))
+                    >= F.struct(F.col("b_depth"), F.col("b_seq"))
+                )
+            )
+            .drop("b_depth", "b_seq")
+        )
+    round_no = store.manifest()["round"]
+    store.commit(
+        round_no, {"frontier_cold": (live, REPLACE)}, {"phase": "compact"}
+    )
+    return store.count("frontier_cold")

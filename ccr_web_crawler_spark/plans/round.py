@@ -17,6 +17,12 @@ Scale notes (the 1000-executor story):
   url_canon; `pages` bucketed by the same key in production makes it
   co-located), and the two global seq sorts (range-partitioned,
   no single-task window);
+* with ``backlog_hot_rows`` set, every one of those shuffles runs over
+  the HOT working set (≤ hosts × H rows), never the full deferred
+  backlog: the cold table is append-only, consumed by a per-host
+  watermark (`frontier_bound`), read only on refill rounds, and
+  rewritten only by an explicit compaction — per-round cost is
+  O(hot + new links), not O(frontier);
 * `pages.html` is only read in the fetch projections — column pruning
   keeps the binary column out of every other scan;
 * per-page link dedup happens inside the UDF before explode (shrink
@@ -40,10 +46,19 @@ from ccr_web_crawler_spark.functions.urlnorm import (
     url_host_udf,
 )
 from ccr_web_crawler_spark.operators.ids import assign_global_seq
-from ccr_web_crawler_spark.operators.politeness import admit_per_host, apply_robots
+from ccr_web_crawler_spark.operators.politeness import (
+    DEFAULT_CRAWL_DELAY,
+    admit_per_host,
+    apply_robots,
+    split_top_k_per_host,
+)
 from ccr_web_crawler_spark.operators.seen import anti_join_seen, build_bloom, with_seen_keys
 
 FRONTIER_COLS = ["url_canon", "host", "depth", "parent", "seq", "attempt", "round"]
+FRONTIER_SCHEMA = (
+    "url_canon string, host string, depth int, parent string, "
+    "seq long, attempt int, round int"
+)
 DISCOVERED_COLS = ["url_canon", "depth", "seq"]
 
 
@@ -66,6 +81,18 @@ class RoundConfig:
     # single round's frontier outgrows broadcast size — in production
     # pair it with pages bucketed by url_canon so the join co-locates.
     fetch_strategy: str = "broadcast"
+    # hot/cold frontier split. None = monolithic frontier (every round
+    # re-shuffles and rewrites the full backlog — fine at test scale).
+    # An int H bounds the per-round working set: the `frontier` table
+    # holds at most H rows per host (the per-host BEST by (depth, seq));
+    # overflow demotes to an append-only `frontier_cold` backlog that
+    # ordinary rounds neither read, shuffle, nor rewrite. Consumption
+    # from cold is a per-host (depth, seq) watermark in the tiny
+    # `frontier_bound` table — a logical delete, never a rewrite. Set
+    # H >= the largest per-host admission budget (refill clamps to the
+    # budget anyway, so a too-small H costs refill frequency, not
+    # correctness). Only meaningful with round_seconds politeness caps.
+    backlog_hot_rows: int | None = None
 
 
 @dataclass
@@ -76,6 +103,109 @@ class RoundResult:
     extracted: DataFrame | None
     failures: DataFrame | None
     stats: dict
+    # backlog mode only: rows demoted to the cold table this round
+    # (APPEND) and the updated per-host consumption watermark (REPLACE)
+    demoted: DataFrame | None = None
+    bound: DataFrame | None = None
+
+
+BOUND_COLS = ["host", "b_depth", "b_seq"]
+
+
+def _key(prefix: str = ""):
+    return F.struct(F.col(f"{prefix}depth"), F.col(f"{prefix}seq"))
+
+
+def _budget_col(round_seconds: float):
+    return F.greatest(
+        F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
+    )
+
+
+def _refill_from_cold(
+    unseen: DataFrame,
+    cold: DataFrame | None,
+    bound: DataFrame | None,
+    seen: DataFrame | None,
+    bloom: DataFrame | None,
+    robots: DataFrame | None,
+    cfg: RoundConfig,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Promote cold-backlog rows for hosts whose hot working set can't
+    fill this round's admission budget. Returns (pool for admission,
+    per-host successor watermarks for the promoted prefix | None).
+
+    Ordinary rounds pay only a tiny aggregate over the hot-bounded
+    ``unseen`` (per-host counts vs budget) and never touch cold; the
+    cold scan runs only when a shortfall exists, filtered to shortfall
+    hosts and to rows at/past the consumption watermark. Promotion
+    ranks AFTER dedupe/seen/robots so stale resurrected rows (consumed
+    ranges re-exposed by a later watermark lowering — see run_round)
+    can't crowd live rows out of the top-k; everything below the
+    promoted prefix's max key is therefore either promoted or
+    provably dead, which is what makes the successor watermark a safe
+    logical delete."""
+    if bound is None or cold is None:
+        return unseen, None
+    spark = unseen.sparkSession
+    budget = _budget_col(cfg.round_seconds)
+    counts = unseen.groupBy("host").agg(F.count("*").alias("__cnt"))
+    # the TRUE per-host delay must come from robots, not from the hot
+    # rows: a shortfall host may have 0 hot rows (nothing to read the
+    # delay off), and coalescing to the default mis-sizes the budget
+    # whenever robots grants a faster-than-default delay — the host
+    # then refills at <budget hot rows "often enough" but not always
+    # (cnt in [default_budget, true_budget) skips a refill the
+    # monolithic engine's admission would have used)
+    short = bound.select("host")
+    if robots is not None:
+        short = short.join(robots.select("host", "crawl_delay"), "host", "left")
+    else:
+        short = short.withColumn("crawl_delay", F.lit(None).cast("double"))
+    shortfall = (
+        short.withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY)),
+        )
+        .join(counts, "host", "left")
+        .filter(F.coalesce(F.col("__cnt"), F.lit(0)) < budget)
+        .select("host")
+    )
+    # hot-bounded aggregate — the only per-round cost when no host is short
+    shortfall = shortfall.localCheckpoint(eager=True)
+    if shortfall.isEmpty():
+        return unseen, None
+    live = (
+        cold.join(F.broadcast(shortfall), "host", "left_semi")
+        .join(F.broadcast(bound), "host", "left")
+        .filter(
+            F.col("b_depth").isNull()
+            | (_key() >= F.struct(F.col("b_depth"), F.col("b_seq")))
+        )
+        .drop("b_depth", "b_seq")
+    )
+    live = _dedupe_frontier(live)
+    # a url present in hot always carries the better (depth, seq) key
+    # (demotion keeps the per-host best in hot), so the hot copy wins
+    live = live.join(unseen.select("url_canon"), "url_canon", "left_anti")
+    live = anti_join_seen(
+        live, seen, bloom, "url_canon", cfg.n_buckets, cfg.bloom_bits, cfg.bloom_k
+    )
+    live = apply_robots(live, robots)
+    promoted, _ = split_top_k_per_host(
+        live, F.greatest(F.lit(cfg.backlog_hot_rows), budget)
+    )
+    # the promoted set drives BOTH admission and the consumption
+    # watermark — it must be one stable materialization
+    promoted = promoted.localCheckpoint(eager=True)
+    if promoted.isEmpty():
+        return unseen, spark.createDataFrame([], "host string, b_depth int, b_seq long")
+    succ = promoted.groupBy("host").agg(F.max(_key()).alias("k")).select(
+        "host",
+        F.col("k.depth").alias("b_depth"),
+        (F.col("k.seq") + 1).alias("b_seq"),
+    )
+    return unseen.unionByName(promoted), succ
 
 
 def failures_projection(extracted: DataFrame, round_no: int) -> DataFrame:
@@ -201,8 +331,11 @@ def run_round(
     max_seq: dict | None = None,
     bloom: DataFrame | None = None,
     page_urls: DataFrame | None = None,
+    cold: DataFrame | None = None,
+    bound: DataFrame | None = None,
 ) -> RoundResult:
     max_seq = max_seq or {}
+    backlog = cfg.backlog_hot_rows is not None and cfg.round_seconds is not None
     extract_links_udf = make_extract_links_udf(cfg.scope_substring, cfg.mode)
 
     # 1. dedupe queued copies, drop already-visited (Bloom-prefiltered
@@ -220,6 +353,11 @@ def run_round(
     # (→ next frontier); under AQE only an eager checkpoint guarantees
     # the dedupe/anti-join work runs once across those actions.
     unseen = unseen.localCheckpoint(eager=True)
+    refill_bound = None
+    if backlog:
+        unseen, refill_bound = _refill_from_cold(
+            unseen, cold, bound, seen, bloom, robots, cfg
+        )
     admitted, deferred = admit_per_host(unseen, cfg.round_seconds)
 
     # 2. mark visited-at-pop (reference marks BEFORE fetch outcome,
@@ -295,6 +433,61 @@ def run_round(
         F.lit(round_no + 1).alias("round"),
     )
     next_frontier = deferred.select(*FRONTIER_COLS).unionByName(nav_new)
+    demoted = new_bound = None
+    if backlog:
+        # the effective consumption watermark going into this round's
+        # routing: the stored bound, raised to the refill's successor
+        # for hosts the refill consumed from
+        base = bound
+        if refill_bound is not None:
+            base = refill_bound if base is None else (
+                base.join(refill_bound.select("host"), "host", "left_anti")
+                .unionByName(refill_bound)
+            )
+        # INVARIANT (what makes hot-only admission exact): every hot
+        # row sorts strictly before every live cold row of its host.
+        # New links at/past the watermark therefore may NOT compete for
+        # hot slots — they go straight to cold, where (key >= base >=
+        # final bound) keeps them live. Sub-watermark links + deferred
+        # rows compete for the per-host best-H; overflow demotes, and
+        # the watermark drops to the demotion min so demoted rows stay
+        # live. Lowering the watermark re-exposes consumed cold ranges
+        # — safe (resurrected rows are dupes of visited/pending urls
+        # and die in the dedupe/seen filters at the next refill), just
+        # a bounded re-read, never a correctness issue.
+        nav_hot = nav_new
+        nav_cold = nav_new.limit(0)
+        if base is not None:
+            # deterministic by construction (parquet-backed bound +
+            # aggregation over the checkpointed promoted set) — no
+            # pinning needed across its two uses
+            routed = nav_new.join(F.broadcast(base), "host", "left")
+            past = F.col("b_depth").isNotNull() & (
+                _key() >= F.struct(F.col("b_depth"), F.col("b_seq"))
+            )
+            nav_hot = routed.filter(~past).select(*FRONTIER_COLS)
+            nav_cold = routed.filter(past).select(*FRONTIER_COLS)
+        next_frontier, overflow = split_top_k_per_host(
+            deferred.select(*FRONTIER_COLS).unionByName(nav_hot),
+            cfg.backlog_hot_rows,
+        )
+        demoted = overflow.unionByName(nav_cold)
+        demote_min = demoted.groupBy("host").agg(
+            F.min(_key()).alias("k")
+        ).select(
+            "host",
+            F.col("k.depth").alias("b_depth"),
+            F.col("k.seq").alias("b_seq"),
+        )
+        if base is None:
+            new_bound = demote_min
+        else:
+            new_bound = (
+                base.unionByName(demote_min)
+                .groupBy("host")
+                .agg(F.min(F.struct("b_depth", "b_seq")).alias("b"))
+                .select("host", F.col("b.b_depth"), F.col("b.b_seq"))
+            )
     new_discovered = sequenced.filter(F.col("kind") == 1).select(*DISCOVERED_COLS)
 
     # 7. extraction stage over this round's new discoveries
@@ -322,4 +515,6 @@ def run_round(
         extracted=extracted_df,
         failures=failures_df,
         stats={"round": round_no},
+        demoted=demoted,
+        bound=new_bound,
     )

@@ -109,14 +109,21 @@ class SnapshotStore:
             files, lineage = [], {}
             for p in sorted(out_dir.glob("*.parquet")):
                 rel = f"{rel_dir}/{p.name}"
-                files.append(rel)
                 # per-partition lineage incl. row count from the parquet
                 # footer — a driver-side metadata read, not a Spark job;
                 # downstream count()/isEmpty checks become free.
-                lineage[rel] = {
-                    "round": round_no,
-                    "rows": pq.ParquetFile(str(p)).metadata.num_rows,
-                }
+                rows = pq.ParquetFile(str(p)).metadata.num_rows
+                if rows == 0:
+                    # the documented no-op-delta contract: zero-row part
+                    # files never enter the manifest, so an append of an
+                    # empty delta leaves the table's file list untouched
+                    # (quiet backlog rounds must not grow frontier_cold)
+                    # and readers never schedule tasks over empty files.
+                    # The file itself stays on disk as an unreferenced
+                    # orphan — documented harmless, like a crashed write.
+                    continue
+                files.append(rel)
+                lineage[rel] = {"round": round_no, "rows": rows}
             entry = new_tables.get(name, {"files": [], "lineage": {}})
             if mode == REPLACE:
                 entry = {"files": files, "lineage": lineage}

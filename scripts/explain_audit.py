@@ -81,7 +81,53 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("no cartesian beyond the broadcast knn",
          lambda p: "CartesianProduct" not in p),
     ],
+    "backlog_round": [
+        ("per-host watermark (bound) joins as a broadcast, never a "
+         "shuffle of the cold/new-link side on host",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian product anywhere in the round",
+         lambda p: "CartesianProduct" not in p),
+        ("hot-capacity split is windowed per host (bounded sort keys), "
+         "not a global sort",
+         lambda p: "Window" in p),
+        ("cold routing filter is a plain projection/filter over the "
+         "links (no extra exchange beyond the window's host partition)",
+         lambda p: "SortMergeJoin" not in p or "host" in p),
+    ],
 }
+
+
+def build_backlog_round(spark, sf_dir):
+    """The backlog-mode round's next_frontier plan: new links routed
+    hot/cold against the broadcast per-host watermark, deferred rows
+    competing for the per-host best-H slots (plans/round.py:436-489).
+    IO-level boundedness (hot REPLACE <= hosts x H rows; cold strictly
+    append-only) is asserted from manifest lineage in
+    tests/test_backlog.py — this section pins the plan SHAPE."""
+    from ccr_web_crawler_spark.plans.driver import crawl
+    from ccr_web_crawler_spark.plans.round import RoundConfig, run_round
+    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_seeds
+    from ccr_web_crawler_spark.sources.tableio import SnapshotStore
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    tmp = tempfile.mkdtemp(prefix="backlog_plan_")
+    pages = synth_pages(spark, n_pages=300, n_hosts=6)
+    store = SnapshotStore(os.path.join(tmp, "st"))
+    cfg = RoundConfig(extract=False, round_seconds=6.0, backlog_hot_rows=2,
+                      seq_partitions=4)
+    # run two real rounds so cold/bound exist, then build round 2's plan
+    crawl(spark, pages, synth_seeds(spark), store, cfg, max_rounds=2)
+    frontier = store.read(spark, "frontier")
+    seen = store.read(spark, "seen")
+    cold = store.read(spark, "frontier_cold")
+    bound = store.read(spark, "frontier_bound")
+    page_urls = pages.select(F.col("url").alias("url_canon"))
+    res = run_round(spark, 2, frontier, seen, store.read(spark, "discovered"),
+                    None, pages, None, cfg, page_urls=page_urls,
+                    cold=cold, bound=bound)
+    return res.next_frontier
 
 
 def formatted_plan(df) -> str:
@@ -112,7 +158,10 @@ def main() -> None:
     for name, checks in CHECKS.items():
         if only and name not in only:
             continue
-        df = qs[name](spark, sf_dir)
+        if name == "backlog_round":
+            df = build_backlog_round(spark, sf_dir)
+        else:
+            df = qs[name](spark, sf_dir)
         # execute the df's own plan once so AQE finalizes it (count()
         # would wrap a different plan tree) — formatted explain then
         # carries the real join strategies + codegen ids

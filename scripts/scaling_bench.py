@@ -142,7 +142,11 @@ print("RESULT " + json.dumps({{
     "cpus": cpus, "wall_s": round(wall, 1), "pages_per_sec": round(done / wall, 1),
     "pages": done, "rounds": s.rounds, "cpu_s": round(cpu_s, 1),
     "busy_cores": round(busy / tickc / wall, 2),
-    "steal_cores": round(steal / tickc / wall, 2)}}))
+    "steal_cores": round(steal / tickc / wall, 2),
+    # per-round (pages_fetched, wall_s): exposes the fixed per-round
+    # serial term (driver commit + plan compile) vs row-proportional
+    # compute — the Amdahl decomposition BASELINE.md reports
+    "round_walls": [[m[1], round(m[5] / 1000, 1)] for m in s.metrics]}}))
 """
 
 
@@ -153,11 +157,17 @@ def run_level(cpus: int, n_pages: int, mode: str = "threads") -> dict:
     # 24 cores, overstating the small level and understating scaling
     # efficiency — the cpuset is the sandbox rendition of "an N-executor
     # cluster owns N executors' worth of cores".
-    # threads mode: `cpus` = thread count = cores. executors mode:
-    # `cpus` = executor count, each local-cluster executor owns 2 cores;
-    # +2 cores for the driver JVM (a real cluster's driver node is also
-    # not carved out of executor cores) — same +2 at both levels.
-    n_cores = cpus if mode == "threads" else 2 * cpus + 2
+    # threads mode: `cpus` = thread count = executor cores. executors
+    # mode: `cpus` = executor count, each local-cluster executor owns 2
+    # cores. BOTH modes get +2 cores for the driver (a real cluster's
+    # driver node is not carved out of executor cores) — the SAME +2 at
+    # both levels, so the core RATIO between levels stays exactly 4 on
+    # the executor side. Without it the lo level thrashes (driver JVM +
+    # GC + python daemon time-slice against the single task pair), which
+    # DEGRADES lo and therefore OVERSTATES efficiency — the round-2
+    # 2v8-without-headroom run measured a nonsense 1.88 for exactly this
+    # reason. Headroom at both levels is the conservative direction.
+    n_cores = cpus + 2 if mode == "threads" else 2 * cpus + 2
     cmd = ["taskset", "-c", f"0-{n_cores - 1}", sys.executable, "-c", code]
     last_log = None
     for attempt in range(2):  # local-cluster startup is occasionally flaky
