@@ -212,9 +212,27 @@ def main() -> None:
         "speedup": round(best_hi["pages_per_sec"] / best_lo["pages_per_sec"], 3),
         "scaling_efficiency": round(eff, 3),
     }
+    # carry forward analysis keys a raw re-run doesn't produce (the
+    # zero-coupling host-capacity control and history) so a fresh
+    # measurement can't silently erase the normalization evidence;
+    # recompute the normalized number against the preserved control
+    # when the input sizes match (the control is width-specific).
+    path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        for k in ("host_capacity_control", "capacity_normalized_note",
+                  "history_20k", "estimator_note", "analysis"):
+            if k in prev and k not in result:
+                result[k] = prev[k]
+        ctl = result.get("host_capacity_control") or {}
+        if ctl.get("host_capacity_factor") and prev.get("n_pages") == n_pages:
+            result["capacity_normalized_efficiency"] = round(
+                eff / ctl["host_capacity_factor"], 2
+            )
     print(json.dumps(result))
     # persist next to bench.py so per-round BENCH records embed it
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(result, f, indent=1)
 
 
