@@ -312,6 +312,128 @@ FROM t
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Subword (BPE-ish) vs whitespace token counts per doc — the
+    LLM-budget estimate a training-data pipeline runs corpus-wide.
+    Pure JVM Column algebra (regexp_extract_all + aggregate)."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count(t).cast("long").alias("n_ws"),
+        ts.bpe_token_count(t).alias("n_bpe"),
+    )
+
+
+_BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+  CAST(COALESCE(list_sum(list_transform(
+    regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'),
+    p -> CASE WHEN regexp_matches(p, '^\p{L}') THEN CAST(ceil(length(p)/4.0) AS BIGINT)
+              WHEN regexp_matches(p, '^\p{N}') THEN CAST(ceil(length(p)/3.0) AS BIGINT)
+              ELSE 1 END)), 0) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing document fingerprints (rolling k-gram hash, window
+    minima — Schleimer et al. SIGMOD'03), exploded to (doc_id, fp)
+    rows. Hashes are engine-portable so DuckDB derives the identical
+    sets independently."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(ts.winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
+# DuckDB mirror: same normalize, same k=8 grams (positions 1..len-k+1),
+# same w=4 window minima, same 60-bit md5-prefix hash. list_slice is
+# END-inclusive (Spark's slice takes a LENGTH) and range() is
+# end-exclusive — hence the +w-1 / +1 offsets.
+_WINNOW_CTE = r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tt
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN length(tt) - 7 < 1 THEN []::BIGINT[]
+    ELSE list_transform(range(1, length(tt) - 7 + 1),
+      i -> CAST('0x' || substr(md5(substr(tt, CAST(i AS INT), 8)), 1, 15) AS BIGINT))
+    END AS hs
+  FROM t
+), wnd AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+    ELSE list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+      j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 3 AS INT)))))
+    END AS fps
+  FROM g
+)
+"""
+
+_WINNOW_FP_SQL = _WINNOW_CTE + """
+SELECT doc_id, unnest(fps) AS fp FROM wnd
+"""
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Near-copy pairs by winnow-fingerprint containment (MOSS-style):
+    containment = |fps_a ∩ fps_b| / min(|fps_a|, |fps_b|) >= 0.8 means
+    nearly every fingerprinted run of the smaller doc appears verbatim
+    in the other. An absolute shared-count floor is wrong for template-
+    heavy corpora (boilerplate alone clears it); the containment ratio
+    is what the fingerprinting literature actually thresholds.
+    Scale shape: the fp equi-join is candidate-generation (shared
+    60-bit hashes only), per-doc fp counts are one cheap agg, and the
+    pair agg is bounded by true overlap — never all-pairs."""
+    docs = _docs_with_dups(spark, sf_dir)
+    fps = docs.select(
+        "doc_id", F.explode(ts.winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    shared = (
+        fps.alias("l")
+        .join(fps.alias("r"), "fp")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(counts.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("na")), "id_a")
+        .join(counts.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            F.round(F.col("shared") / F.least(F.col("na"), F.col("nb")), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+
+
+_WINNOW_PAIRS_SQL = _WINNOW_CTE.replace("FROM documents", "FROM docs").replace(
+    "WITH t AS", "WITH docs AS ({docs}), t AS".format(docs=_DOCS_DUP_SQL)
+) + """
+, fps AS (SELECT doc_id, unnest(fps) AS fp FROM wnd)
+, counts AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1)
+, shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+  FROM fps l JOIN fps r USING (fp)
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.shared,
+  ROUND(s.shared / least(ca.n_fp, cb.n_fp), 4) AS containment
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.id_a
+JOIN counts cb ON cb.doc_id = s.id_b
+WHERE s.shared / least(ca.n_fp, cb.n_fp) >= 0.8
+"""
+
+
 # --- deduplication family (SURVEY §2.5 + training-data scale-ups)
 
 
@@ -1326,6 +1448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_counts": q_tumbling_counts,
         # text analysis
         "textstats": q_textstats,
+        "bpe_tokens": q_bpe_tokens,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         # dedup family
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
@@ -1376,6 +1501,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSIONIZE_SQL,
         "tumbling_counts": _TUMBLING_SQL,
         "textstats": _TEXTSTATS_SQL,
+        "bpe_tokens": _BPE_TOKENS_SQL,
+        "winnow_fp": _WINNOW_FP_SQL,
+        "winnow_pairs": _WINNOW_PAIRS_SQL,
         "exact_dup_groups": _EXACT_GROUPS_SQL,
         "exact_dedup_keep": _EXACT_KEEP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

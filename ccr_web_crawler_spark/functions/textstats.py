@@ -86,3 +86,78 @@ def hash64_portable(s: Column) -> Column:
     DuckDB (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), for
     cross-engine-checkable hashing (simhash, salting oracles)."""
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+# BPE-style pre-tokenizer pieces: letter runs, digit runs, single
+# non-space symbols. \p{L}/\p{N} parse identically in Java regex and
+# DuckDB's RE2, so the oracle splits the same way.
+_BPE_PIECE_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword token count — the LLM-budget estimator the
+    whitespace count undercounts. Splits into letter runs, digit runs
+    and single symbols, then charges subword granularity the way a
+    trained BPE does on rare words: a letter run of length L counts
+    ceil(L/4) tokens (≈4 chars/subword, the usual English BPE rate),
+    a digit run of length D counts ceil(D/3) (GPT-style 1-3-digit
+    groups), every other symbol 1. Pure JVM expression; identical
+    algebra runs in the DuckDB oracle."""
+    pieces = F.regexp_extract_all(text, F.lit(_BPE_PIECE_RE), 0)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(p.rlike(r"^\p{L}"), F.ceil(F.length(p) / 4.0).cast("long"))
+        .when(p.rlike(r"^\p{N}"), F.ceil(F.length(p) / 3.0).cast("long"))
+        .otherwise(F.lit(1).cast("long")),
+    )
+
+
+def _winnow_of(tt: Column, k: int, w: int) -> Column:
+    """Winnowed fingerprint set over an already-bound text value (a
+    lambda variable — NOT a composite expression; see
+    winnow_fingerprints for why that matters)."""
+    n = F.length(tt) - (k - 1)  # number of character k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: hash64_portable(tt.substr(i, F.lit(k))),
+    )
+    # bind the gram-hash array once, then take window minima; a doc
+    # shorter than k+w-1 chars yields its single best window (or empty
+    # below k chars) — degenerate but deterministic
+    return F.when(n < 1, F.array().cast("array<long>")).otherwise(
+        F.element_at(
+            F.transform(
+                F.array(grams),
+                lambda hs: F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))
+                        ),
+                        lambda j: F.array_min(F.slice(hs, j, w)),
+                    )
+                ),
+            ),
+            1,
+        )
+    )
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): rolling hashes of character ``k``-grams over the
+    normalized text, keeping the minimum of each ``w``-window — the
+    standard near-copy detector whose fingerprint sets overlap iff
+    documents share runs of ≥ k+w-1 chars. Returns the distinct
+    fingerprint set as ``array<long>``.
+
+    Hashes are ``hash64_portable`` so the DuckDB oracle computes
+    byte-identical sets. The normalized text is bound as a
+    higher-order-function lambda variable so normalize_ws evaluates
+    once per row, not once per k-gram position (the codegen-CSE trap
+    measured in operators/dedup.word_shingles)."""
+    return F.element_at(
+        F.transform(F.array(normalize_ws(text)), lambda tt: _winnow_of(tt, k, w)),
+        1,
+    )

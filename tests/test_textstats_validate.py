@@ -66,3 +66,57 @@ def test_health_gate_boundary(spark):
     df = spark.createDataFrame(rows, "url string, section_title string, text_html string, extraction_status string")
     r = validation_report(df).collect()[0]
     assert r.valid == 200 and r.total == 201 and r.healthy is True  # 200/201 > .99
+
+
+def test_bpe_token_count_pieces(spark):
+    from ccr_web_crawler_spark.functions.textstats import bpe_token_count
+
+    rows = [
+        ("hello world",),        # 2 runs of <=4? hello=5->2, world=5->2 => 4
+        ("don't say 42!",),      # don(1)+'(1)+t(1)+say(1)+42(1)+!(1) = 6
+        ("",),                   # empty -> 0
+        ("internationalization",),  # 20 letters -> ceil(20/4)=5
+        ("1234567",),            # 7 digits -> ceil(7/3)=3
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r.n for r in df.select(bpe_token_count(F.col("t")).alias("n")).collect()]
+    assert got == [4, 6, 0, 5, 3]
+
+
+def test_winnow_identical_docs_share_all_fingerprints(spark):
+    from ccr_web_crawler_spark.functions.textstats import winnow_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog repeatedly today"
+    df = spark.createDataFrame([(1, text), (2, text), (3, "completely different words arranged here")],
+                               "id int, t string")
+    out = {r.id: set(r.fps) for r in df.select(
+        "id", winnow_fingerprints(F.col("t")).alias("fps")).collect()}
+    assert out[1] == out[2] and len(out[1]) > 0
+    # unrelated docs share (essentially) nothing
+    assert len(out[1] & out[3]) == 0
+
+
+def test_winnow_substring_containment(spark):
+    from ccr_web_crawler_spark.functions.textstats import winnow_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    sub = base[:90]  # a long verbatim prefix
+    df = spark.createDataFrame([(1, base), (2, sub)], "id int, t string")
+    out = {r.id: set(r.fps) for r in df.select(
+        "id", winnow_fingerprints(F.col("t")).alias("fps")).collect()}
+    # winnowing guarantee: shared runs >= k+w-1 chars surface as shared
+    # fingerprints — most of the substring's prints appear in the base
+    inter = len(out[1] & out[2])
+    assert inter / len(out[2]) >= 0.8
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from ccr_web_crawler_spark.functions.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, ""), (2, "tiny"), (3, "exactly8"), (4, "just over k+w-1")],
+                               "id int, t string")
+    got = {r.id: r.fps for r in df.select(
+        "id", winnow_fingerprints(F.col("t")).alias("fps")).collect()}
+    assert got[1] == [] and got[2] == []      # below k chars -> empty
+    assert len(got[3]) == 1                    # one k-gram -> one window
+    assert len(got[4]) >= 1
