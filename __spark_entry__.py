@@ -355,7 +355,8 @@ def q_winnow_fp(spark, sf_dir):
 # end-exclusive — hence the +w-1 / +1 offsets.
 _WINNOW_CTE = r"""
 WITH t AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tt
+  SELECT doc_id,
+    lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS tt
   FROM documents
 ), g AS (
   SELECT doc_id,
@@ -393,6 +394,9 @@ def q_winnow_pairs(spark, sf_dir):
     fps = docs.select(
         "doc_id", F.explode(ts.winnow_fingerprints(F.col("text"))).alias("fp")
     )
+    # three consumers (counts + both self-join sides) — pin the k-gram
+    # hashing once or the dominant cost runs ~3x
+    fps = fps.localCheckpoint(eager=False)
     counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     shared = (
         fps.alias("l")
@@ -430,7 +434,7 @@ SELECT s.id_a, s.id_b, s.shared,
 FROM shared s
 JOIN counts ca ON ca.doc_id = s.id_a
 JOIN counts cb ON cb.doc_id = s.id_b
-WHERE s.shared / least(ca.n_fp, cb.n_fp) >= 0.8
+WHERE ROUND(s.shared / least(ca.n_fp, cb.n_fp), 4) >= 0.8
 """
 
 

@@ -78,10 +78,41 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
         t1 = time.time()
         recovery_passes = recover(spark, pages, store, cfg)
         recovery_wall = time.time() - t1
+    # backlog-mode crawl tracked separately at reduced size: per-round
+    # hot/cold routing + refill overhead must stay visible so a
+    # regression in the bounded-frontier path can't hide behind the
+    # monolithic headline
+    bk_pages = max(1000, n_pages // 4)
+    # round_seconds sized for ~40-fetch/host rounds; H below the budget
+    # so the cold refill path runs (and is timed) every round rather
+    # than only under overflow
+    bk_cfg = RoundConfig(
+        seq_partitions=max(4, cpus // 2), round_seconds=60.0,
+        backlog_hot_rows=16,
+    )
+    bk_dir = tempfile.mkdtemp(prefix="bench_bk_pages_")
+    synth_pages(spark, n_pages=bk_pages, n_hosts=8, partitions=cpus).write.mode(
+        "overwrite"
+    ).parquet(bk_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        bk_store = SnapshotStore(os.path.join(tmp, "bk"))
+        bk_input = spark.read.parquet(bk_dir)
+        t2 = time.time()
+        bk = crawl(spark, bk_input, synth_seeds(spark), bk_store, bk_cfg,
+                   max_rounds=32)
+        bk_wall = time.time() - t2
     done = summary.visited + summary.extracted
     return {
         "recovery_passes": recovery_passes,
         "recovery_wall_s": round(recovery_wall, 2),
+        "backlog_crawl": {
+            "n_pages": bk_pages,
+            "rounds": bk.rounds,
+            "visited": bk.visited,
+            "cold_backlog": bk.cold_backlog,
+            "wall_s": round(bk_wall, 2),
+            "pages_per_sec": round((bk.visited + bk.extracted) / bk_wall, 2),
+        },
         "n_pages": n_pages,
         "rounds": summary.rounds,
         "visited": summary.visited,

@@ -103,7 +103,10 @@ def bpe_token_count(text: Column) -> Column:
     a digit run of length D counts ceil(D/3) (GPT-style 1-3-digit
     groups), every other symbol 1. Pure JVM expression; identical
     algebra runs in the DuckDB oracle."""
-    pieces = F.regexp_extract_all(text, F.lit(_BPE_PIECE_RE), 0)
+    # NULL text counts 0 tokens (matches the oracle's COALESCE(...,0))
+    pieces = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(_BPE_PIECE_RE), 0
+    )
     return F.aggregate(
         pieces,
         F.lit(0).cast("long"),
@@ -156,8 +159,10 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     byte-identical sets. The normalized text is bound as a
     higher-order-function lambda variable so normalize_ws evaluates
     once per row, not once per k-gram position (the codegen-CSE trap
-    measured in operators/dedup.word_shingles)."""
+    measured in operators/dedup.word_shingles). NULL text fingerprints
+    as empty (a NULL would otherwise slip past the n<1 guard — NULL
+    comparisons are not true — and emit a [NULL] fingerprint set)."""
+    tt0 = F.coalesce(normalize_ws(text), F.lit(""))
     return F.element_at(
-        F.transform(F.array(normalize_ws(text)), lambda tt: _winnow_of(tt, k, w)),
-        1,
+        F.transform(F.array(tt0), lambda tt: _winnow_of(tt, k, w)), 1
     )

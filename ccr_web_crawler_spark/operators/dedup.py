@@ -250,9 +250,20 @@ def minhash_near_duplicates(
     ``est_margin=None`` for the screen-free exact path."""
     rows_per_band = n_hashes // n_bands
     minhash = make_minhash_udf(n_hashes, shingle_n, seed)
-    docs = df.select(
-        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("words")
-    ).select("id", minhash(F.col("words")).alias("sig"))
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("words")
+        )
+        # docs below shingle_n words have an EMPTY shingle set: Jaccard
+        # is 0/0 (undefined, treated as not-duplicate) and their
+        # identical all-zeros signatures would otherwise collide in
+        # every band — m short docs => m^2 guaranteed candidate pairs
+        # plus a divide-by-zero in the exact verify under ANSI mode.
+        # Excluding them up front is both the semantics and the scale
+        # guard.
+        .filter(F.size("words") >= shingle_n)
+        .select("id", minhash(F.col("words")).alias("sig"))
+    )
     docs = docs.localCheckpoint(eager=False)
 
     bands = docs.select(

@@ -84,10 +84,20 @@ def admit_per_host(
     """
     if round_seconds is None:
         return frontier, frontier.limit(0)
-    budget = F.greatest(
+    return split_top_k_per_host(
+        frontier, host_budget(round_seconds), order_cols, n_salts
+    )
+
+
+def host_budget(round_seconds: float):
+    """Per-host admission budget for one round: how many fetches fit in
+    ``round_seconds`` at the row's ``crawl_delay`` (always >= 1 so no
+    host starves). THE one budget definition — admission here and the
+    backlog refill's shortfall test (plans/round.py) must agree, or a
+    host could refill to fewer rows than admission would take."""
+    return F.greatest(
         F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
     )
-    return split_top_k_per_host(frontier, budget, order_cols, n_salts)
 
 
 def split_top_k_per_host(

@@ -37,6 +37,7 @@ from ccr_web_crawler_spark.plans.round import (
     FRONTIER_SCHEMA,
     RoundConfig,
     failures_projection,
+    live_cold_rows,
     recovery_pass,
     retry_candidates,
     run_round,
@@ -223,6 +224,15 @@ def _rounds(
     metrics_rows: list,
 ) -> None:
     backlog = cfg.backlog_hot_rows is not None and cfg.round_seconds is not None
+    if not backlog and store.count("frontier_cold") > 0:
+        # a non-backlog resume would silently strand the cold URLs (and
+        # crash once hot drains: run_round would see frontier=None with
+        # work still pending) — refuse loudly instead
+        raise ValueError(
+            "store has a frontier_cold backlog (written by a backlog-mode "
+            "crawl) but RoundConfig.backlog_hot_rows/round_seconds are not "
+            "set — resume with backlog mode enabled, or compact the store"
+        )
     rounds_done = 0
     while max_rounds is None or rounds_done < max_rounds:
         # cold's physical count includes logically-consumed rows, so a
@@ -424,19 +434,7 @@ def compact_cold(spark: SparkSession, store: SnapshotStore) -> int:
     if cold is None:
         return 0
     bound = store.read(spark, "frontier_bound")
-    live = cold
-    if bound is not None:
-        live = (
-            cold.join(F.broadcast(bound), "host", "left")
-            .filter(
-                F.col("b_depth").isNull()
-                | (
-                    F.struct(F.col("depth"), F.col("seq"))
-                    >= F.struct(F.col("b_depth"), F.col("b_seq"))
-                )
-            )
-            .drop("b_depth", "b_seq")
-        )
+    live = live_cold_rows(cold, bound)
     round_no = store.manifest()["round"]
     store.commit(
         round_no, {"frontier_cold": (live, REPLACE)}, {"phase": "compact"}

@@ -50,6 +50,7 @@ from ccr_web_crawler_spark.operators.politeness import (
     DEFAULT_CRAWL_DELAY,
     admit_per_host,
     apply_robots,
+    host_budget,
     split_top_k_per_host,
 )
 from ccr_web_crawler_spark.operators.seen import anti_join_seen, build_bloom, with_seen_keys
@@ -116,9 +117,22 @@ def _key(prefix: str = ""):
     return F.struct(F.col(f"{prefix}depth"), F.col(f"{prefix}seq"))
 
 
-def _budget_col(round_seconds: float):
-    return F.greatest(
-        F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
+def live_cold_rows(cold: DataFrame, bound: DataFrame | None) -> DataFrame:
+    """Cold-backlog rows still live under the per-host consumption
+    watermark: key (depth, seq) at/past the host's ``frontier_bound``
+    entry (hosts without an entry are fully live). THE one definition
+    of cold liveness — refill (here) and ``driver.compact_cold`` must
+    agree or compaction would physically delete rows refill still
+    considers live."""
+    if bound is None:
+        return cold
+    return (
+        cold.join(F.broadcast(bound), "host", "left")
+        .filter(
+            F.col("b_depth").isNull()
+            | (_key() >= F.struct(F.col("b_depth"), F.col("b_seq")))
+        )
+        .drop("b_depth", "b_seq")
     )
 
 
@@ -148,7 +162,7 @@ def _refill_from_cold(
     if bound is None or cold is None:
         return unseen, None
     spark = unseen.sparkSession
-    budget = _budget_col(cfg.round_seconds)
+    budget = host_budget(cfg.round_seconds)
     counts = unseen.groupBy("host").agg(F.count("*").alias("__cnt"))
     # the TRUE per-host delay must come from robots, not from the hot
     # rows: a shortfall host may have 0 hot rows (nothing to read the
@@ -175,14 +189,8 @@ def _refill_from_cold(
     shortfall = shortfall.localCheckpoint(eager=True)
     if shortfall.isEmpty():
         return unseen, None
-    live = (
-        cold.join(F.broadcast(shortfall), "host", "left_semi")
-        .join(F.broadcast(bound), "host", "left")
-        .filter(
-            F.col("b_depth").isNull()
-            | (_key() >= F.struct(F.col("b_depth"), F.col("b_seq")))
-        )
-        .drop("b_depth", "b_seq")
+    live = live_cold_rows(
+        cold.join(F.broadcast(shortfall), "host", "left_semi"), bound
     )
     live = _dedupe_frontier(live)
     # a url present in hot always carries the better (depth, seq) key
@@ -440,9 +448,12 @@ def run_round(
         # for hosts the refill consumed from
         base = bound
         if refill_bound is not None:
+            # both sides are O(hosts) watermark tables — broadcast the
+            # anti-join probe so the merge never sorts/shuffles
             base = refill_bound if base is None else (
-                base.join(refill_bound.select("host"), "host", "left_anti")
-                .unionByName(refill_bound)
+                base.join(
+                    F.broadcast(refill_bound.select("host")), "host", "left_anti"
+                ).unionByName(refill_bound)
             )
         # INVARIANT (what makes hot-only admission exact): every hot
         # row sorts strictly before every live cold row of its host.

@@ -90,9 +90,10 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("hot-capacity split is windowed per host (bounded sort keys), "
          "not a global sort",
          lambda p: "Window" in p),
-        ("cold routing filter is a plain projection/filter over the "
-         "links (no extra exchange beyond the window's host partition)",
-         lambda p: "SortMergeJoin" not in p or "host" in p),
+        ("no sort-merge join anywhere — every join side in the round is "
+         "either broadcast (watermarks, shortfall, robots) or window-"
+         "co-partitioned",
+         lambda p: "SortMergeJoin" not in p),
     ],
 }
 
@@ -180,6 +181,12 @@ def main() -> None:
         lines.append(plan.rstrip())
         lines.append("```")
         lines.append("")
+    if only:
+        # partial runs are for iterating on one plan — never clobber
+        # the full audit document with a filtered subset
+        print(f"\n(filtered run: PLANS.md not rewritten); {failures} failed assertions")
+        spark.stop()
+        sys.exit(1 if failures else 0)
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

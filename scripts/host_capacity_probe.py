@@ -46,11 +46,22 @@ def main() -> None:
             )
         )
     results = []
-    for p in procs:
+    for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=7200)
-        for line in out.splitlines():
-            if line.startswith("RESULT "):
-                results.append(json.loads(line[len("RESULT "):]))
+        got = [
+            json.loads(line[len("RESULT "):])
+            for line in out.splitlines()
+            if line.startswith("RESULT ")
+        ]
+        # a dead/silent copy must abort the probe: dividing a 3-copy
+        # aggregate by n_copies*solo would understate host capacity and
+        # present it as a 4-copy measurement
+        if p.returncode != 0 or not got:
+            raise RuntimeError(
+                f"probe copy {i} failed (rc={p.returncode}, "
+                f"{len(got)} RESULT lines) — aggregate would be invalid"
+            )
+        results.extend(got)
     wall = time.time() - t0
     agg = sum(r["pages_per_sec"] for r in results)
     doc = {

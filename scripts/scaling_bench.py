@@ -226,7 +226,16 @@ def main() -> None:
             if k in prev and k not in result:
                 result[k] = prev[k]
         ctl = result.get("host_capacity_control") or {}
-        if ctl.get("host_capacity_factor") and prev.get("n_pages") == n_pages:
+        # the control is specific to the experiment SHAPE, not just the
+        # input size: n_copies disjoint lo-width cpusets. Only normalize
+        # when input size, mode and levels all match the run the control
+        # was measured for.
+        if (
+            ctl.get("host_capacity_factor")
+            and prev.get("n_pages") == n_pages
+            and prev.get("mode") == mode
+            and prev.get("levels") == [lo_n, hi_n]
+        ):
             result["capacity_normalized_efficiency"] = round(
                 eff / ctl["host_capacity_factor"], 2
             )

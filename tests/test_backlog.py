@@ -194,3 +194,30 @@ def test_backlog_tiny_hot_capacity_still_equivalent(spark, tmp_path, h):
         if (r[1], r[3], r[4]) != (0, 0, 0)
     ]
     assert strip(mono.metrics) == strip(back.metrics)
+
+
+def test_non_backlog_resume_of_backlog_store_refuses(spark, tmp_path):
+    """Resuming a backlog-written store without backlog mode would
+    strand the cold URLs — the driver must refuse loudly."""
+    import pytest
+
+    from ccr_web_crawler_spark.plans.driver import crawl
+    from ccr_web_crawler_spark.plans.round import RoundConfig
+    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_seeds
+    from ccr_web_crawler_spark.sources.tableio import SnapshotStore
+
+    pages = synth_pages(spark, n_pages=N_PAGES, n_hosts=N_HOSTS)
+    store = SnapshotStore(str(tmp_path / "mixed"))
+    crawl(
+        spark, pages, synth_seeds(spark), store,
+        RoundConfig(extract=False, round_seconds=6.0, backlog_hot_rows=2,
+                    seq_partitions=4),
+        max_rounds=2,
+    )
+    assert store.count("frontier_cold") > 0, "fixture must leave a backlog"
+    with pytest.raises(ValueError, match="backlog"):
+        crawl(
+            spark, pages, synth_seeds(spark), store,
+            RoundConfig(extract=False, round_seconds=6.0, seq_partitions=4),
+            max_rounds=1,
+        )

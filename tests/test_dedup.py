@@ -126,3 +126,23 @@ def test_jaccard_max_df_caps_stop_shingles(spark):
     assert len(uncapped) == 6  # all pairs share 'x'
     capped = jaccard_similar_pairs(df, n=1, threshold=0.1, max_df=1).collect()
     assert capped == []
+
+
+def test_minhash_short_docs_never_pair_or_crash(spark):
+    """Docs with fewer than shingle_n words have EMPTY shingle sets:
+    Jaccard is 0/0 — they are excluded up front instead of colliding in
+    every band via identical all-zeros signatures and dividing by zero
+    in the exact verify (ANSI mode)."""
+    rows = [
+        (1, "tiny doc"),
+        (2, "also small"),
+        (3, "x"),
+        (4, "the quick brown fox jumps over the lazy dog again and again today"),
+        (5, "the quick brown fox jumps over the lazy dog again and again today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(df, jaccard_threshold=0.5).collect()
+    }
+    assert got == {(4, 5)}
