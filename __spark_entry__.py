@@ -472,6 +472,119 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composite curation pipeline — the flagship ``entry()`` shape as
+    an oracle-checked query: exact-dedup survivors of the dup-planted
+    corpus, filtered to high-quality English, with per-doc token budget
+    and content fingerprint (what a training-data consumer of the crawl
+    runs corpus-wide; reference analog: scripts/validate_data.py's
+    keep/drop pass composed with indexer/ingest.py's per-doc prep).
+    Scale shape: the stats are pure JVM Column exprs fused into the
+    scan stage; both quality and language filters sit BELOW the join so
+    only the curated slice shuffles; dedup is one window over the
+    fingerprint shuffle. No UDF, no collect — two stages at any corpus
+    size."""
+    d = _docs_with_dups(spark, sf_dir)
+    t = F.col("text")
+    stats = d.select(
+        "doc_id",
+        ts.token_count(t).cast("long").alias("n_tokens"),
+        ts.lang_id(t).alias("lang_guess"),
+        ts.quality_score(t).alias("quality"),
+        ts.fingerprint(t).alias("fp"),
+    ).filter((F.col("quality") > 0.7) & (F.col("lang_guess") == "en"))
+    keep = dedup.exact_dedup(d).select("doc_id")
+    return stats.join(keep, "doc_id").select(
+        "doc_id", "n_tokens", "lang_guess", "quality", "fp"
+    )
+
+
+_CORPUS_CLEAN_SQL = f"""
+WITH docs AS ({_DOCS_DUP_SQL}), t AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+    len(regexp_split_to_array(lower(text), '(?i)\\b({_STOP_EN})\\b')) - 1 AS n_en,
+    len(regexp_split_to_array(lower(text), '(?i)\\b({_STOP_ES})\\b')) - 1 AS n_es
+  FROM docs
+), s AS (
+  SELECT doc_id, n_tok AS n_tokens,
+    CASE WHEN n_en = 0 AND n_es = 0 THEN 'und'
+         WHEN n_en >= n_es THEN 'en' ELSE 'es' END AS lang_guess,
+    (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)::DOUBLE
+      + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_en / n_tok END) >= 0.05
+              THEN 0.4 ELSE 0.0 END)::DOUBLE
+      + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) / length(text) END) <= 0.2
+              THEN 0.2 ELSE 0.0 END)::DOUBLE AS q_raw,
+    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM t
+), keep AS (
+  SELECT doc_id FROM docs
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ORDER BY doc_id) = 1
+)
+SELECT doc_id, n_tokens, lang_guess, ROUND(q_raw, 2) AS quality, fp
+FROM s JOIN keep USING (doc_id)
+WHERE q_raw > 0.7 AND lang_guess = 'en'
+"""
+
+
+def q_corpus_report(spark, sf_dir):
+    """Corpus statistics rollup per detected language — doc counts,
+    total token budget, mean quality, distinct-content count (the
+    corpus report a pipeline emits before/after curation; reference
+    analog: scripts/validate_data.py's summary block). One partial-agg
+    shuffle on a ~cardinality-5 key; countDistinct expands to a
+    two-phase exact-distinct — both fine at 100 TB because the stats
+    are computed map-side in the scan stage."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = d.select(
+        ts.lang_id(t).alias("lang_guess"),
+        ts.token_count(t).cast("long").alias("n_tokens"),
+        ts.quality_score(t).alias("quality"),
+        ts.fingerprint(t).alias("fp"),
+    )
+    return s.groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+
+
+_CORPUS_REPORT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+    len(regexp_split_to_array(lower(text), '(?i)\\b({_STOP_EN})\\b')) - 1 AS n_en,
+    len(regexp_split_to_array(lower(text), '(?i)\\b({_STOP_ES})\\b')) - 1 AS n_es
+  FROM documents
+), s AS (
+  SELECT
+    CASE WHEN n_en = 0 AND n_es = 0 THEN 'und'
+         WHEN n_en >= n_es THEN 'en' ELSE 'es' END AS lang_guess,
+    n_tok,
+    (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)::DOUBLE
+      + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_en / n_tok END) >= 0.05
+              THEN 0.4 ELSE 0.0 END)::DOUBLE
+      + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) / length(text) END) <= 0.2
+              THEN 0.2 ELSE 0.0 END)::DOUBLE AS q_raw,
+    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM t
+)
+SELECT lang_guess, COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  ROUND(AVG(q_raw), 4) AS avg_quality,
+  COUNT(DISTINCT fp) AS n_unique
+FROM s GROUP BY 1
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_similar_pairs(
         _read(spark, sf_dir, "documents"), n=2, threshold=0.5
@@ -1458,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
+        "corpus_clean": q_corpus_clean,
+        "corpus_report": q_corpus_report,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "minhash_exact_check": q_minhash_exact_check,
@@ -1510,6 +1625,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _WINNOW_PAIRS_SQL,
         "exact_dup_groups": _EXACT_GROUPS_SQL,
         "exact_dedup_keep": _EXACT_KEEP_SQL,
+        "corpus_clean": _CORPUS_CLEAN_SQL,
+        "corpus_report": _CORPUS_REPORT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_exact_check": _MINHASH_EXACT_SQL,
         "simhash_planted": _SIMHASH_PLANTED_SQL,

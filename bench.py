@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "tumbling_counts",
     "textstats",
     "exact_dedup_keep",
+    "corpus_clean",
     "minhash_pairs",
     "simhash_pairs",
     "cosine_topk",
