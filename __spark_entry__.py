@@ -585,6 +585,94 @@ FROM s GROUP BY 1
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): fraction of duplicate word bigrams per doc
+    — repetitious machine-generated/boilerplate text scores high and is
+    dropped before training. Pure JVM higher-order-function algebra
+    (split → zip_with shifted slices → array_distinct), no UDF: the
+    whole computation fuses into the scan stage at any corpus size."""
+    d = _read(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    n_words = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(w)
+    )
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bg = F.size(bigrams)
+    dup_frac = F.when(n_bg <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(bigrams)) / n_bg
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(dup_frac, 4).alias("dup_bigram_frac"),
+        (F.round(dup_frac, 4) <= 0.18).alias("keep"),
+    )
+
+
+_GOPHER_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+    END AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, len(w) AS n_words,
+    CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(w)), i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])
+    END AS bg
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+        ELSE 1.0 - len(list_distinct(bg)) / len(bg) END, 4) AS dup_bigram_frac,
+  ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+        ELSE 1.0 - len(list_distinct(bg)) / len(bg) END, 4) <= 0.18 AS keep
+FROM b
+"""
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Deterministic token-budget sampling: the prefix of the corpus in
+    portable shuffle-hash order (md5 of doc_id) whose running token
+    total fills a 10k budget. Distributed prefix sum — range shuffle +
+    per-partition sums + budget partition pruning; NO single-partition
+    window (see operators/sampling.py)."""
+    from ccr_web_crawler_spark.operators.sampling import sample_to_token_budget
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ok"),
+    )
+    out = sample_to_token_budget(
+        d, token_col="n_tokens", order_cols=["ok", "doc_id"], budget=10_000,
+        num_partitions=8,
+    )
+    return out.select("doc_id", "n_tokens", "cum_tokens")
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+    md5(doc_id::VARCHAR) AS ok
+  FROM documents
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(SUM(n_tok) OVER (ORDER BY ok, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_tokens
+FROM t
+QUALIFY cum_tokens <= 10000
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_similar_pairs(
         _read(spark, sf_dir, "documents"), n=2, threshold=0.5
@@ -1573,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_keep": q_exact_dedup_keep,
         "corpus_clean": q_corpus_clean,
         "corpus_report": q_corpus_report,
+        "gopher_repetition": q_gopher_repetition,
+        "token_budget_sample": q_token_budget_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "minhash_exact_check": q_minhash_exact_check,
@@ -1627,6 +1717,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_keep": _EXACT_KEEP_SQL,
         "corpus_clean": _CORPUS_CLEAN_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
+        "gopher_repetition": _GOPHER_REPETITION_SQL,
+        "token_budget_sample": _TOKEN_BUDGET_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_exact_check": _MINHASH_EXACT_SQL,
         "simhash_planted": _SIMHASH_PLANTED_SQL,

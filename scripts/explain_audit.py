@@ -75,6 +75,37 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("whole-stage codegen", lambda p: "codegen id :" in p),
         ("column-pruned scan", lambda p: "ReadSchema" in p),
     ],
+    "corpus_clean": [
+        ("pure JVM expressions — no python UDF in the plan",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ("quality/lang filters below the join (Filter under the probe side)",
+         lambda p: "Filter" in p and "CartesianProduct" not in p),
+        ("dedup is one window over the fingerprint exchange",
+         lambda p: "Window" in p),
+    ],
+    "corpus_report": [
+        ("pure JVM expressions — no python UDF in the plan",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ("partial (map-side) aggregation before the exchange",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "gopher_repetition": [
+        ("higher-order funcs stay JVM-side — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ("column-pruned scan (only doc_id+text read)",
+         lambda p: "ReadSchema" in p and "source" not in p.split("ReadSchema")[1][:200]),
+        ("no shuffle at all — fused into the scan stage",
+         lambda p: "Exchange" not in p),
+    ],
+    "token_budget_sample": [
+        # the range exchange lives in the checkpointed subplan (lineage
+        # pinned before the offsets were counted), so the visible plan
+        # is the cut itself: distributed MapInPandas, never a
+        # single-partition Window
+        ("distributed prefix-sum cut (MapInPandas), no global Window",
+         lambda p: "MapInPandas" in p and "Window" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
     "context_assembly": [
         ("single aggregation keyed on query id (k-bounded groups)",
          lambda p: "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p),

@@ -1,0 +1,143 @@
+"""Same-window closure of the capacity-normalization caveat.
+
+BASELINE.md's round-3 headline (capacity-normalized N->4N efficiency
+= raw_eff / host_capacity_factor) compared an engine-at-4N run and the
+zero-coupling host-capacity control measured in different multi-hour
+host windows — the one stated caveat. This script closes it by
+interleaving, back-to-back in ONE session:
+
+    lo, [ hi (the coupled engine, 4N width) ,
+          probe (4 fully independent copies of the lo job on the same
+          16 compute cores, zero engine coupling) ] x repeats
+
+The normalized number needs no lo term at all — it cancels:
+
+    eff_norm = eff_raw / capacity
+             = (hi / (4*lo)) / (probe_agg / (4*lo))
+             = hi_pps / probe_aggregate_pps
+
+so the critical same-window comparison is exactly the [hi, probe] pair
+this script alternates; the single lo run refreshes the raw ratio in
+the same window for completeness. Methodology is byte-identical to the
+recorded runs: scaling_bench.CHILD job, threads mode, cpuset pinning
+(engine levels get the +2-core driver headroom both levels always got;
+probe copies own exactly 4 cores each, as in host_capacity_probe.py).
+
+Usage: python scripts/samewindow_scaling.py [n_pages] [repeats]
+Writes SAMEWINDOW.json and folds the result into SCALING.json under
+"samewindow" so BENCH embeds it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from scaling_bench import CHILD, run_level  # noqa: E402
+
+
+def run_probe(n_pages: int, n_copies: int = 4) -> dict:
+    """4 independent lo-level jobs, disjoint 4-core cpusets, concurrent.
+    Same code path as scripts/host_capacity_probe.py."""
+    code = CHILD.format(repo=REPO, cpus=4, n_pages=n_pages, mode="threads")
+    procs = []
+    t0 = time.time()
+    for i in range(n_copies):
+        cpuset = f"{4 * i}-{4 * i + 3}"
+        procs.append(
+            subprocess.Popen(
+                ["taskset", "-c", cpuset, sys.executable, "-c", code],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            )
+        )
+    results = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=7200)
+        got = [
+            json.loads(line[len("RESULT "):])
+            for line in out.splitlines()
+            if line.startswith("RESULT ")
+        ]
+        if p.returncode != 0 or not got:
+            raise RuntimeError(
+                f"probe copy {i} failed (rc={p.returncode}) — "
+                "aggregate would be invalid"
+            )
+        results.extend(got)
+    return {
+        "copies": results,
+        "aggregate_pps": round(sum(r["pages_per_sec"] for r in results), 1),
+        "probe_wall_s": round(time.time() - t0, 1),
+    }
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    t_start = time.time()
+
+    log = lambda m: print(f"[samewindow] {m}", file=sys.stderr, flush=True)  # noqa: E731
+
+    lo = run_level(4, n_pages, "threads")
+    log(f"lo local[4]: {lo['pages_per_sec']} p/s (wall {lo['wall_s']}s)")
+
+    cycles = []
+    for i in range(repeats):
+        hi = run_level(16, n_pages, "threads")
+        log(f"cycle {i} hi local[16]: {hi['pages_per_sec']} p/s "
+            f"(wall {hi['wall_s']}s)")
+        probe = run_probe(n_pages)
+        log(f"cycle {i} probe: {probe['aggregate_pps']} p/s aggregate "
+            f"(wall {probe['probe_wall_s']}s)")
+        cycles.append({
+            "hi": hi,
+            "probe": probe,
+            "normalized_efficiency": round(
+                hi["pages_per_sec"] / probe["aggregate_pps"], 3
+            ),
+        })
+
+    best_hi = max(c["hi"]["pages_per_sec"] for c in cycles)
+    best_probe = max(c["probe"]["aggregate_pps"] for c in cycles)
+    doc = {
+        "n_pages": n_pages,
+        "repeats": repeats,
+        "lo": lo,
+        "cycles": cycles,
+        "raw_efficiency_same_window": round(
+            best_hi / lo["pages_per_sec"] / 4, 3
+        ),
+        "host_capacity_factor_same_window": round(
+            best_probe / (4 * lo["pages_per_sec"]), 3
+        ),
+        "normalized_efficiency_same_window": round(best_hi / best_probe, 3),
+        "per_cycle_normalized": [c["normalized_efficiency"] for c in cycles],
+        "window_wall_s": round(time.time() - t_start, 1),
+        "note": (
+            "hi (coupled engine at 4N width) and probe (4 zero-coupling "
+            "copies on the same compute cores) interleaved back-to-back "
+            "in one session — the normalized number hi/probe_agg needs "
+            "no cross-window assumption; lo ran in the same window for "
+            "the raw ratio"
+        ),
+    }
+    print(json.dumps(doc))
+    with open(os.path.join(REPO, "SAMEWINDOW.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+    # fold into SCALING.json so bench.py embeds it in BENCH_r{N}.json
+    spath = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            scaling = json.load(f)
+        scaling["samewindow"] = doc
+        with open(spath, "w") as f:
+            json.dump(scaling, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
