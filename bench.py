@@ -47,11 +47,13 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
     )
     log(f"[bench] synthesizing {n_pages}-page web ...")
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
-    # pages live on parquet like the production Iceberg table → fetch
-    # scans are column-pruned; synthesis is excluded from timing
-    synth_pages(spark, n_pages=n_pages, n_hosts=8, partitions=cpus).write.mode(
-        "overwrite"
-    ).parquet(pages_dir)
+    # pages live on parquet like the production Iceberg table, SORTED
+    # by url (standard corpus layout — Iceberg sort order exists for
+    # point lookups): fetch pushdown then prunes the scan to the row
+    # groups holding the round's urls. Synthesis is excluded from timing.
+    synth_pages(spark, n_pages=n_pages, n_hosts=8, partitions=cpus).repartitionByRange(
+        cpus, "url"
+    ).sortWithinPartitions("url").write.mode("overwrite").parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
 
     cfg = RoundConfig(seq_partitions=max(4, cpus // 2))
@@ -91,9 +93,9 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
         backlog_hot_rows=16,
     )
     bk_dir = tempfile.mkdtemp(prefix="bench_bk_pages_")
-    synth_pages(spark, n_pages=bk_pages, n_hosts=8, partitions=cpus).write.mode(
-        "overwrite"
-    ).parquet(bk_dir)
+    synth_pages(spark, n_pages=bk_pages, n_hosts=8, partitions=cpus).repartitionByRange(
+        cpus, "url"
+    ).sortWithinPartitions("url").write.mode("overwrite").parquet(bk_dir)
     with tempfile.TemporaryDirectory() as tmp:
         bk_store = SnapshotStore(os.path.join(tmp, "bk"))
         bk_input = spark.read.parquet(bk_dir)

@@ -82,6 +82,22 @@ class RoundConfig:
     # single round's frontier outgrows broadcast size — in production
     # pair it with pages bucketed by url_canon so the join co-locates.
     fetch_strategy: str = "broadcast"
+    # dynamic fetch pushdown: when a round's candidate set is at most
+    # this many urls, collect them (one tiny job over the round-sized,
+    # usually checkpointed candidate relation) and push an In(url)
+    # filter INTO the pages parquet scan. On a url-sorted corpus
+    # (standard table layout — Iceberg sort order / Z-order exists for
+    # exactly this) row-group min/max + page-index stats then prune the
+    # scan to the handful of row groups that contain the round's urls,
+    # so fetching K pages costs O(K · row-group), not O(corpus): the
+    # measured at 60k fat pages: 13.5s streamed → ~1.4s pushed for a
+    # 1-url round. The limit is deliberately modest: parquet evaluates
+    # a pushed In as an Or-chain, whose cost grows linearly with the
+    # set (measured: 1000 urls 1.7s, 4096 urls 6.6s, 8192 urls 24s vs
+    # a 4.7s full scan — and >1024 risks StackOverflow at the default
+    # JVM thread stack). Rounds bigger than the limit stream the scan,
+    # which they amortize anyway. None disables.
+    fetch_pushdown_limit: int | None = 1024
     # hot/cold frontier split. None = monolithic frontier (every round
     # re-shuffles and rewrites the full backlog — fine at test scale).
     # An int H bounds the per-round working set: the `frontier` table
@@ -299,6 +315,20 @@ def fetch_join(
     if cfg.fetch_strategy == "broadcast":
         if page_urls is None:
             page_urls = pages.select(F.col("url").alias("url_canon"))
+        # dynamic pushdown: for a small round, turn the fetch into a
+        # point-lookup scan — an In(url) predicate reaches the parquet
+        # reader (PushedFilters), so on a url-sorted corpus row-group
+        # stats skip everything but the row groups holding this round's
+        # urls. The collect is bounded by fetch_pushdown_limit and runs
+        # over the round-sized candidate relation, never the corpus.
+        limit = cfg.fetch_pushdown_limit
+        if limit:
+            probe = candidates.select("url_canon").limit(limit + 1).collect()
+            if len(probe) <= limit:
+                urls = [r[0] for r in probe]
+                pushed = F.col("url_canon").isin(urls) if urls else F.lit(False)
+                pages_proj = pages_proj.filter(pushed)
+                page_urls = page_urls.filter(pushed)
         hit = pages_proj.join(F.broadcast(candidates), "url_canon", "inner").select(
             *candidates.columns, "html"
         )

@@ -76,5 +76,15 @@ def get_spark(
         .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fetch pushdown (plans/round.fetch_join): a round's candidate
+        # urls are pushed as an In(url) predicate into the pages scan.
+        # Above this threshold Spark degrades parquet In-pushdown to a
+        # min/max RANGE filter, which is useless for a url set spanning
+        # many hosts on a sorted corpus — keep the precise In form for
+        # any set fetch_pushdown_limit (1024) allows. Not higher: the
+        # Or-chain parquet builds for a pushed In overflows the default
+        # thread stack around ~1.5k terms and its evaluation cost grows
+        # linearly past the full-scan cost by ~4k.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
     )
     return builder.getOrCreate()

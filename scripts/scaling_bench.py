@@ -80,7 +80,9 @@ kw = dict(doc_paras=(120, 200), para_words=40, branching=16, nav_fraction=0.08)
 # pages live on parquet like the production Iceberg table → every scan
 # is column-pruned instead of deserializing fat in-memory rows
 pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+# sorted by url (production corpus layout) so fetch pushdown can prune
 synth_pages(spark, n_pages={n_pages}, n_hosts=8, partitions=cpus, **kw) \
+    .repartitionByRange(max(cpus, 8), "url").sortWithinPartitions("url") \
     .write.mode("overwrite").parquet(pages_dir)
 pages = spark.read.parquet(pages_dir)
 with tempfile.TemporaryDirectory() as tmp:  # JIT/codegen warmup

@@ -129,3 +129,53 @@ def test_admit_salt_bounds_window_partitions(spark):
     # and the operator still admits exactly budget rows for the hot host
     admitted, _ = admit_per_host(frontier, 20.0, n_salts=n_salts)
     assert admitted.count() == 20
+
+
+def test_fetch_pushdown_point_lookup(spark, tmp_path):
+    """Small rounds must push their url set INTO the parquet scan
+    (PushedFilters: In) so a sorted corpus serves the fetch as a
+    point lookup instead of a full fat-column scan; results must be
+    identical to the streamed form, misses included."""
+    pages_path = os.path.join(str(tmp_path), "pages_sorted")
+    spark.createDataFrame(
+        [(f"https://h/{i:05d}", bytearray(b"<html>%d</html>" % i)) for i in range(500)],
+        "url string, html binary",
+    ).repartitionByRange(4, "url").sortWithinPartitions("url").write.mode(
+        "overwrite"
+    ).parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    cand = spark.createDataFrame(
+        [(f"https://h/{i:05d}",) for i in range(0, 40)]
+        + [("https://h/miss",)],
+        "url_canon string",
+    ).localCheckpoint(eager=True)
+
+    pushed = fetch_join(cand, pages, RoundConfig(fetch_pushdown_limit=1024))
+    streamed = fetch_join(cand, pages, RoundConfig(fetch_pushdown_limit=None))
+
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(url" in plan, plan
+    assert "PushedFilters: [In(url" not in streamed._jdf.queryExecution().executedPlan().toString()
+
+    a = sorted((r["url_canon"], bytes(r["html"]) if r["html"] else None) for r in pushed.collect())
+    b = sorted((r["url_canon"], bytes(r["html"]) if r["html"] else None) for r in streamed.collect())
+    assert a == b
+    assert len(a) == 41 and a[-1][1] is None  # miss kept with null html
+
+
+def test_fetch_pushdown_skipped_above_limit(spark, tmp_path):
+    """Rounds larger than the limit must NOT build a giant In filter
+    (Or-chain cost grows past the scan cost; >1.5k overflows the JVM
+    thread stack) — they keep the streamed-corpus form."""
+    pages_path = os.path.join(str(tmp_path), "pages2")
+    spark.createDataFrame(
+        [(f"https://h/{i}", bytearray(b"<x>")) for i in range(50)],
+        "url string, html binary",
+    ).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    cand = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(30)], "url_canon string"
+    )
+    out = fetch_join(cand, pages, RoundConfig(fetch_pushdown_limit=10))
+    assert "PushedFilters: [In(url" not in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 30
