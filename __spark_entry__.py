@@ -673,6 +673,252 @@ QUALIFY cum_tokens <= 10000
 """
 
 
+def _docs_with_pii(spark, sf_dir):
+    """documents with deterministically planted PII spans (the synth
+    corpus is PII-free word salad, so the scrubber gets real work both
+    engines derive independently): every 4th doc gains an email, every
+    5th a phone, every 6th an IP — overlapping residues give docs with
+    0–3 PII kinds."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        (did % 4) == 1,
+        F.concat(F.lit(" Contact user"), did.cast("string"), F.lit("@example.com today.")),
+    ).otherwise(F.lit(""))
+    phone = F.when((did % 5) == 2, F.lit(" Call 555-867-5309 now.")).otherwise(F.lit(""))
+    ip = F.when(
+        (did % 6) == 3,
+        F.concat(F.lit(" Server at 10.0.0."), (did % 200).cast("string"), F.lit(" responded.")),
+    ).otherwise(F.lit(""))
+    return d.withColumn("text", F.concat(F.col("text"), email, phone, ip))
+
+
+_DOCS_PII_SQL = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 4 = 1
+          THEN ' Contact user' || doc_id::VARCHAR || '@example.com today.'
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 2 THEN ' Call 555-867-5309 now.' ELSE '' END
+  || CASE WHEN doc_id % 6 = 3
+          THEN ' Server at 10.0.0.' || (doc_id % 200)::VARCHAR || ' responded.'
+          ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over the (planted) corpus — per-doc
+    match counts per kind plus the fingerprint of the scrubbed text
+    (functions/pii.py). Pure JVM regexp algebra fused into the scan
+    stage; zero shuffles, zero Python — the 100 TB shape is a map-only
+    pass."""
+    from ccr_web_crawler_spark.functions.pii import pii_counts, scrub_pii
+
+    d = _docs_with_pii(spark, sf_dir)
+    t = F.col("text")
+    c = pii_counts(t)
+    return d.select(
+        "doc_id",
+        c["email"].cast("long").alias("n_emails"),
+        c["ip"].cast("long").alias("n_ips"),
+        c["phone"].cast("long").alias("n_phones"),
+        F.md5(scrub_pii(t)).alias("scrubbed_fp"),
+        ((c["email"] + c["ip"] + c["phone"]) > 0).alias("had_pii"),
+    )
+
+
+_PII_SCRUB_SQL = f"""
+WITH docs AS ({_DOCS_PII_SQL}), pat AS (
+  SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}' AS email,
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b' AS ip,
+         '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b' AS phone
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, email)) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, ip)) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, phone)) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(
+    text, email, '<EMAIL>', 'g'), ip, '<IP>', 'g'), phone, '<PHONE>', 'g'))
+    AS scrubbed_fp,
+  len(regexp_extract_all(text, email)) + len(regexp_extract_all(text, ip))
+    + len(regexp_extract_all(text, phone)) > 0 AS had_pii
+FROM docs, pat
+"""
+
+
+def _docs_with_lines(spark, sf_dir):
+    """documents with deterministically planted boilerplate lines (the
+    synth corpus is single-line): every 3rd doc gains a newsletter
+    header line, every 4th a copyright footer line — cross-document
+    repeated lines for the CCNet line-dedup to find."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    header = F.when((did % 3) == 0, F.lit("Subscribe to our newsletter!\n")).otherwise(
+        F.lit("")
+    )
+    footer = F.when((did % 4) == 0, F.lit("\nAll rights reserved.")).otherwise(F.lit(""))
+    return d.withColumn("text", F.concat(header, F.col("text"), footer))
+
+
+_DOCS_LINES_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter!' || chr(10) ELSE '' END
+  || text
+  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'All rights reserved.' ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup (operators/dedup.py
+    dedup_lines): lines whose normalized form appears in >4 distinct
+    docs are boilerplate and removed everywhere; docs reassemble in
+    original line order. Verified here via per-doc line accounting +
+    cleaned-text fingerprint."""
+    out = dedup.dedup_lines(_docs_with_lines(spark, sf_dir), max_doc_freq=4)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5(F.col("text")).alias("clean_fp")
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH docs AS ({_DOCS_LINES_SQL}), l AS (
+  SELECT doc_id, unnest(range(1, len(s) + 1)) AS pos, unnest(s) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM docs)
+), lf AS (
+  SELECT doc_id, pos, line,
+    md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g')))) AS line_fp,
+    length(trim(line)) > 0 AS nonblank
+  FROM l
+), boiler AS (
+  SELECT line_fp FROM lf WHERE nonblank
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 4
+)
+SELECT doc_id, COUNT(*) AS n_lines,
+  CAST(SUM((b.line_fp IS NULL OR NOT lf.nonblank)::int) AS BIGINT) AS n_kept,
+  md5(COALESCE(string_agg(
+    CASE WHEN b.line_fp IS NULL OR NOT lf.nonblank THEN lf.line END,
+    chr(10) ORDER BY lf.pos), '')) AS clean_fp
+FROM lf LEFT JOIN boiler b ON lf.line_fp = b.line_fp
+GROUP BY doc_id
+"""
+
+
+def _link_edges(spark, sf_dir):
+    """Deterministically planted link graph over the doc-id space (no
+    natural web graph exists in the driver tables): every doc except
+    the %11 residue links to two pseudo-random targets — (7·id+3) mod N
+    and (13·id+5) mod N. The %11 holdout creates dangling nodes (pages
+    with no outlinks), exercising PageRank's dangling-mass term. N is
+    derived from the table in-plan (1-row crossJoin; scalar subquery in
+    the oracle) — no collect."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n1 = d.agg(F.count("*").alias("n"))
+    base = d.crossJoin(n1).filter((F.col("doc_id") % 11) != 0)
+    did = F.col("doc_id")
+    e1 = base.select(did.alias("src"), ((did * 7 + 3) % F.col("n")).alias("dst"))
+    e2 = base.select(did.alias("src"), ((did * 13 + 5) % F.col("n")).alias("dst"))
+    return e1.union(e2)
+
+
+_LINK_EDGES_SQL = """
+SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+FROM documents, (SELECT COUNT(*) AS n FROM documents) WHERE doc_id % 11 <> 0
+UNION
+SELECT doc_id, (doc_id * 13 + 5) % n
+FROM documents, (SELECT COUNT(*) AS n FROM documents) WHERE doc_id % 11 <> 0
+"""
+
+# one PageRank iteration, mirrored term-for-term against
+# operators/graph.pagerank (decimal-summed contributions + dangling
+# mass, double algebra in the same operation order)
+_PR_ITER_SQL = """
+c{i} AS (
+  SELECT dst AS id, CAST(SUM(CAST(r / od AS DECIMAL(38,18))) AS DOUBLE) AS c
+  FROM e JOIN r{p} ON e.src = r{p}.id JOIN od ON e.src = od.src GROUP BY 1
+), d{i} AS (
+  SELECT COALESCE(CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE), 0.0::DOUBLE) AS dang
+  FROM r{p} WHERE id NOT IN (SELECT src FROM od)
+), r{i} AS (
+  SELECT id,
+    (1.0::DOUBLE - 0.85::DOUBLE) / n
+      + 0.85::DOUBLE * (COALESCE(c, 0.0::DOUBLE) + dang / n) AS r
+  FROM nodes CROSS JOIN nc CROSS JOIN d{i} LEFT JOIN c{i} USING (id)
+)"""
+
+
+def q_pagerank(spark, sf_dir):
+    """3-iteration PageRank (damping 0.85, dangling-mass redistribution)
+    over the planted link graph — operators/graph.pagerank. The oracle
+    unrolls the identical three iterations in SQL; decimal-accumulated
+    sums make both engines bit-reproducible, and ranks are rounded to
+    12 places on both sides."""
+    from ccr_web_crawler_spark.operators.graph import pagerank
+
+    out = pagerank(_link_edges(spark, sf_dir), n_iter=3, damping=0.85)
+    return out.select("id", F.round("rank", 12).alias("rank"))
+
+
+_PAGERANK_SQL = (
+    f"""
+WITH e AS ({_LINK_EDGES_SQL}),
+od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nc AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT id, 1.0::DOUBLE / n AS r FROM nodes, nc),
+"""
+    + ",".join(_PR_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT id, ROUND(r, 12) AS rank FROM r3
+"""
+)
+
+
+def _cc_edges(spark, sf_dir):
+    """Planted dup-cluster graph: chains (i, i+1) for i%10 ∈ {0,1,2}
+    plus a merge edge (i, i−5) for i%10 = 8 — each complete decade
+    forms the component {b, b+1, b+2, b+3, b+8} whose min label b must
+    propagate 4 hops to reach b+8 (a real multi-round convergence
+    test). Planting stops 10 ids short of N so every planted decade is
+    complete and the closed-form oracle below is exact."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n1 = d.agg(F.count("*").alias("n"))
+    base = d.crossJoin(n1).filter(F.col("doc_id") < F.col("n") - 10)
+    did = F.col("doc_id")
+    chain = base.filter((did % 10) < 3).select(did.alias("src"), (did + 1).alias("dst"))
+    merge = base.filter((did % 10) == 8).select(did.alias("src"), (did - 5).alias("dst"))
+    return chain.union(merge)
+
+
+def q_dup_components(spark, sf_dir):
+    """Connected components (hash-min label propagation until fixpoint)
+    over the planted dup-cluster graph — operators/graph.
+    connected_components, the transitive-closure step that turns
+    near-dup PAIRS into canonical-per-cluster assignments. The oracle
+    is the closed-form component structure of the planted graph,
+    derived independently of the propagation algorithm."""
+    from ccr_web_crawler_spark.operators.graph import connected_components
+
+    return connected_components(_cc_edges(spark, sf_dir)).select("id", "component")
+
+
+_DUP_COMPONENTS_SQL = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, nn
+  WHERE doc_id % 10 IN (0, 1, 2) AND doc_id < n - 10
+  UNION ALL
+  SELECT doc_id, doc_id - 5 FROM documents, nn
+  WHERE doc_id % 10 = 8 AND doc_id < n - 10
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+SELECT id,
+  CASE WHEN id % 10 <= 3 THEN id - (id % 10) ELSE id - 8 END AS component
+FROM nodes
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_similar_pairs(
         _read(spark, sf_dir, "documents"), n=2, threshold=0.5
@@ -1663,6 +1909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "gopher_repetition": q_gopher_repetition,
         "token_budget_sample": q_token_budget_sample,
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
+        "pagerank": q_pagerank,
+        "dup_components": q_dup_components,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "minhash_exact_check": q_minhash_exact_check,
@@ -1719,6 +1969,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _CORPUS_REPORT_SQL,
         "gopher_repetition": _GOPHER_REPETITION_SQL,
         "token_budget_sample": _TOKEN_BUDGET_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
+        "pagerank": _PAGERANK_SQL,
+        "dup_components": _DUP_COMPONENTS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_exact_check": _MINHASH_EXACT_SQL,
         "simhash_planted": _SIMHASH_PLANTED_SQL,

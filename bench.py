@@ -136,6 +136,14 @@ BENCH_QUERIES = [
     "textstats",
     "exact_dedup_keep",
     "corpus_clean",
+    "gopher_repetition",
+    "token_budget_sample",
+    "pii_scrub",
+    "line_dedup",
+    "pagerank",
+    # dup_components is correctness-tracked (CORRECTNESS + tests) but not
+    # benched: at sf0.1 its convergence loop measures per-job scheduling
+    # latency (~6 s/iteration on a 245-node graph), not operator throughput
     "minhash_pairs",
     "simhash_pairs",
     "cosine_topk",

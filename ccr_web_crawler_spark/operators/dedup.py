@@ -96,6 +96,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 4,
+) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al. 2020, arXiv:1911.00359
+    §3.1): a line whose normalized form appears in more than
+    ``max_doc_freq`` distinct documents is boilerplate (cookie banners,
+    nav bars, copyright footers) and is removed from every document;
+    remaining lines are reassembled in original order.
+
+    Output: (id_col, n_lines, n_kept, text) — the cleaned text plus
+    per-doc line accounting. Documents whose every line is boilerplate
+    survive with ``text=''`` (the caller's quality filter drops them).
+
+    Scale shape: posexplode (narrow) → one groupBy shuffle on the line
+    fingerprint to compute document frequency → broadcast-or-shuffle
+    hash anti-join of lines against the boilerplate set → one groupBy
+    shuffle on the doc id to reassemble. The boilerplate set is tiny
+    relative to the corpus (it's the HIGH-df tail), so at 10^10 docs
+    the anti-join's build side stays broadcastable; no all-pairs work
+    anywhere. Blank lines are never counted or dropped (they carry no
+    content and would otherwise all collide)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("line_fp", F.md5(normalize_ws(F.col("line"))))
+    nonblank = F.length(F.trim(F.col("line"))) > 0
+    boiler = (
+        lines.filter(nonblank)
+        .groupBy("line_fp")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") > max_doc_freq)
+        .select("line_fp")
+    )
+    flagged = lines.join(F.broadcast(boiler.withColumn("__drop", F.lit(True))), "line_fp", "left").withColumn(
+        "keep", F.coalesce(~F.col("__drop"), F.lit(True)) | ~nonblank
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias(text_col),
+    )
+
+
 # ------------------------------------------------------------- shingles
 
 

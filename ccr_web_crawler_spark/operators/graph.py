@@ -1,0 +1,157 @@
+"""Link-graph analytics over the crawl output — PageRank and connected
+components. Both are iterative DataFrame algorithms: the driver loop
+only sequences Spark jobs; all per-edge work stays distributed.
+
+Why these live in a crawler engine: PageRank over the discovered link
+graph is the classic frontier-prioritization signal (the reference
+crawls breadth-first — ``crawler/discovery.py`` — which is exactly
+rank-free PageRank's first iteration), and connected components is the
+canonical post-near-dup step: minhash/simhash emit PAIRS
+(operators/dedup.py), and picking one canonical doc per duplicate
+CLUSTER requires the transitive closure of those pairs.
+
+Scale notes (10^10 nodes):
+* every iteration is one hash join edges⋈ranks (shuffle on src) + one
+  aggregation (shuffle on dst) — the same two shuffles Pregel-style
+  systems pay; pre-partitioning both edge directions by their join key
+  would co-locate them across iterations on a real cluster;
+* ranks/labels persist per iteration and the previous iteration is
+  unpersisted, so lineage stays O(1) deep (a 30-iteration plan would
+  otherwise recompute the whole chain per action);
+* connected_components is hash-min label propagation: O(diameter)
+  rounds, which on web graphs is small (~20); the O(log n)
+  alternating large-star/small-star variant (Kiveris et al., "Connected
+  Components in MapReduce", SoCC'14) drops in here if a pathological
+  diameter ever matters — same join/agg shapes per round;
+* convergence checks are one scalar aggregate per round (no data to
+  the driver beyond a count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Sums that must be bit-identical across engines/partitionings go
+# through fixed-point accumulation (see __spark_entry__ header rule).
+_DEC = "decimal(38,18)"
+
+
+def _nodes_of(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with uniform teleport and dangling-mass redistribution:
+
+        r'(v) = (1-d)/n + d * (Σ_{u→v} r(u)/outdeg(u) + dangling/n)
+
+    Returns (id, rank). Deterministic across partitionings: the two
+    per-iteration sums (in-contributions, dangling mass) accumulate in
+    DECIMAL(38,18), so the result is reproducible and oracle-checkable
+    bit-for-bit; scalar factors (n, dangling) stay in the plan as
+    1-row crossJoins — nothing collects to the driver."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = _nodes_of(e, "src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    n1 = nodes.agg(F.count("*").cast("double").alias("n"))  # 1-row scalar
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    ranks = nodes.crossJoin(n1).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(n_iter):
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum((F.col("r") / F.col("od")).cast(_DEC)).cast("double").alias("c")
+            )
+        )
+        dangling = (
+            ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
+            .agg(F.sum(F.col("r").cast(_DEC)).cast("double").alias("dang"))
+            .select(F.coalesce("dang", F.lit(0.0)).alias("dang"))
+        )
+        prev = ranks
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(n1)
+            .crossJoin(dangling)
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("dang") / F.col("n"))
+                ).alias("r"),
+            )
+        )
+        # materialize the new ranks, then release the old generation so
+        # lineage depth and cached generations both stay O(1)
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()
+        prev.unpersist()
+    out = ranks.select("id", F.col("r").alias("rank"))
+    nodes.unpersist()
+    outdeg.unpersist()
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by hash-min label propagation: every node
+    starts labeled with its own id; each round every node takes the
+    minimum label among itself and its neighbors; converged when a
+    round changes nothing. Returns (id, component) where component is
+    the minimum node id in the component — the canonical-representative
+    convention the dedup family's keep-min policy already uses
+    (operators/dedup.exact_dedup).
+
+    Rounds = graph diameter (small on web/dup graphs: near-dup clusters
+    are dense, diameter 2-3). Each round: one join (shuffle on id) +
+    one min-agg (shuffle on neighbor) + one scalar convergence count."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = _nodes_of(und, "a", "b").select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        neigh_min = (
+            und.join(labels, und.a == labels.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        prev = labels
+        labels = (
+            labels.join(neigh_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            labels.join(prev.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        prev.unpersist()
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("component"))
+    und.unpersist()
+    return out

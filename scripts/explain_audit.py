@@ -106,6 +106,38 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
          lambda p: "MapInPandas" in p and "Window" not in p),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
+    "pii_scrub": [
+        ("regexp algebra stays JVM-side — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ("map-only pass — no shuffle at all",
+         lambda p: "Exchange" not in p),
+        ("column-pruned scan (only doc_id+text read)",
+         lambda p: "ReadSchema" in p and "source" not in p.split("ReadSchema")[1][:200]),
+    ],
+    "line_dedup": [
+        ("boilerplate set joins as broadcast (high-df tail is tiny)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("line work stays JVM-side — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "pagerank": [
+        # the 1-row scalar factors (n, dangling) legitimately enter as
+        # broadcast nested loops; the per-edge contribution join must
+        # be a hash join, and nothing may be an unbounded cartesian
+        ("per-edge contribution join is a hash join",
+         lambda p: "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+         or "SortMergeJoin" in p),
+        ("no unbounded cartesian product", lambda p: "CartesianProduct" not in p),
+        ("iteration generations come from cache, not recompute",
+         lambda p: "InMemoryTableScan" in p or "TableCacheQueryStage" in p),
+    ],
+    "dup_components": [
+        ("label-propagation join is a hash join",
+         lambda p: "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+         or "SortMergeJoin" in p),
+        ("no unbounded cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
     "context_assembly": [
         ("single aggregation keyed on query id (k-bounded groups)",
          lambda p: "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p),
