@@ -919,6 +919,188 @@ FROM nodes
 """
 
 
+def q_asof_match(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): every event picks up
+    the most recent snapshot row at-or-before its timestamp, per user —
+    snapshots are the %97 event subsample, derived identically by both
+    engines. The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, i.e. an
+    independent implementation of the semantics, not a mirrored
+    formulation. Scale shape: one union + one window over (user, time)
+    — O(n+m), never a range-join explosion."""
+    from ccr_web_crawler_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.select("event_id", "ts", "user_id", "value")
+    snaps = ev.filter((F.col("event_id") % 97) == 0).select(
+        "user_id", "ts", F.round("value", 2).alias("tier")
+    )
+    out = asof_join(left, snaps, on="user_id", ts="ts")
+    # matched timestamp as epoch micros: a NULLABLE raw timestamp
+    # hash-compares as NaT≠NaT across engines; epoch longs don't
+    return out.select(
+        "event_id", "ts", "user_id", "value",
+        # parquet reads ts as TIMESTAMP_NTZ; cast via session-UTC to the
+        # LTZ type unix_micros requires (same epoch DuckDB's epoch_us gives)
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"), "r_tier",
+    )
+
+
+_ASOF_MATCH_SQL = """
+WITH snaps AS (
+  SELECT user_id, ts, ROUND(value, 2) AS tier FROM events WHERE event_id % 97 = 0
+)
+SELECT e.event_id, e.ts, e.user_id, e.value,
+  epoch_us(s.ts) AS r_ts_us, s.tier AS r_tier
+FROM events e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND s.ts <= e.ts
+"""
+
+
+def _sitemap_rows(spark, sf_dir):
+    """Planted sitemap fixtures: every 50th doc contributes one
+    XML-ish sitemap for a host in a 7-host pool — two <loc> entries
+    (one whitespace-padded, exercising the trim) plus a third on the
+    %100 residue (variable-length sitemaps)."""
+    d = _read(spark, sf_dir, "documents").filter((F.col("doc_id") % 50) == 0)
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com"))
+    entry_c = F.when(
+        (F.col("doc_id") % 100) == 0,
+        F.concat(F.lit("<url><loc>https://"), host, F.lit("/c"), did, F.lit("</loc></url>")),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit("<urlset><url><loc> https://"), host, F.lit("/a"), did, F.lit(" </loc></url>"),
+        F.lit("<url><loc>https://"), host, F.lit("/b"), did, F.lit("</loc></url>"),
+        entry_c,
+        F.lit("</urlset>"),
+    )
+    return d.select(host.alias("host"), xml.alias("xml"))
+
+
+_SITEMAP_ROWS_SQL = """
+SELECT 'h' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+  '<urlset><url><loc> https://h' || (doc_id % 7)::VARCHAR || '.example.com/a'
+    || doc_id::VARCHAR || ' </loc></url>'
+  || '<url><loc>https://h' || (doc_id % 7)::VARCHAR || '.example.com/b'
+    || doc_id::VARCHAR || '</loc></url>'
+  || CASE WHEN doc_id % 100 = 0
+          THEN '<url><loc>https://h' || (doc_id % 7)::VARCHAR || '.example.com/c'
+               || doc_id::VARCHAR || '</loc></url>'
+          ELSE '' END
+  || '</urlset>' AS xml
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap ingestion (operators/webmeta.sitemap_urls): XML-ish
+    sitemap text → (host, pos, url) rows via one regexp_extract_all +
+    posexplode — map-only, no shuffle."""
+    from ccr_web_crawler_spark.operators.webmeta import sitemap_urls
+
+    return sitemap_urls(_sitemap_rows(spark, sf_dir))
+
+
+_SITEMAP_INGEST_SQL = f"""
+WITH sm AS ({_SITEMAP_ROWS_SQL}), ex AS (
+  SELECT host,
+    unnest(list_transform(regexp_extract_all(xml, '<loc>\\s*([^<]*?)\\s*</loc>', 1),
+                          (x, i) -> {{'pos': i, 'url': x}})) AS u
+  FROM sm
+)
+SELECT host, CAST(u.pos AS INT) AS pos, u.url AS url FROM ex
+"""
+
+
+def _robots_rows(spark, sf_dir):
+    """Planted robots.txt fixtures over 12 hosts, cycling 4 shapes:
+    multi-block with a foreign block before AND after the ``*`` block
+    (plus an empty Disallow), a googlebot-only file (no ``*`` block),
+    a lowercase compact file, and a bare ``User-agent: *`` header."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 12).select("doc_id")
+    nl = "\n"
+    t0 = (
+        "User-agent: googlebot" + nl + "Disallow: /g" + nl + "User-agent: *" + nl
+        + "Disallow: /private" + nl + "Crawl-delay: 2" + nl + "disallow:" + nl
+        + "Disallow: /tmp" + nl + "User-agent: other" + nl + "Disallow: /y"
+    )
+    t1 = "User-agent: googlebot" + nl + "Disallow: /all"
+    t2 = "user-agent:*" + nl + "crawl-delay: 1.5" + nl + "disallow: /z"
+    t3 = "User-agent: *"
+    m = F.col("doc_id") % 4
+    text = (
+        F.when(m == 0, F.lit(t0)).when(m == 1, F.lit(t1)).when(m == 2, F.lit(t2))
+        .otherwise(F.lit(t3))
+    )
+    return d.select(F.col("doc_id").alias("host_id"), text.alias("robots_txt"))
+
+
+# chr(10)-joined mirror of the four planted shapes above
+_ROBOTS_ROWS_SQL = """
+SELECT doc_id AS host_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /g' || chr(10)
+      || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+      || 'Crawl-delay: 2' || chr(10) || 'disallow:' || chr(10)
+      || 'Disallow: /tmp' || chr(10) || 'User-agent: other' || chr(10) || 'Disallow: /y'
+    WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /all'
+    WHEN 2 THEN 'user-agent:*' || chr(10) || 'crawl-delay: 1.5' || chr(10) || 'disallow: /z'
+    ELSE 'User-agent: *'
+  END AS robots_txt
+FROM documents WHERE doc_id < 12
+"""
+
+
+def q_robots_parse(spark, sf_dir):
+    """robots.txt → politeness table (operators/webmeta.parse_robots):
+    the ``User-agent: *`` block's Disallow prefixes (file order, CSV
+    for cross-engine comparison) and Crawl-delay. Pure per-row
+    higher-order-function algebra — zero shuffles."""
+    from ccr_web_crawler_spark.operators.webmeta import parse_robots
+
+    out = parse_robots(_robots_rows(spark, sf_dir), host_col="host_id")
+    return out.select(
+        "host_id",
+        F.array_join("disallow_prefixes", ",").alias("disallow_csv"),
+        "crawl_delay",
+    )
+
+
+_ROBOTS_PARSE_SQL = f"""
+WITH r AS ({_ROBOTS_ROWS_SQL}), t AS (
+  SELECT host_id,
+    list_transform(string_split(robots_txt, chr(10)),
+                   (x, i) -> {{'pos': i, 'ln': lower(trim(x))}}) AS items
+  FROM r
+), b AS (
+  SELECT host_id, items,
+    list_extract(list_filter(items,
+      s -> regexp_matches(s.ln, '^user-agent\\s*:\\s*\\*$')), 1).pos AS b_start
+  FROM t
+), b2 AS (
+  SELECT *, COALESCE(
+    list_extract(list_filter(items,
+      s -> regexp_matches(s.ln, '^user-agent\\s*:') AND s.pos > b_start), 1).pos,
+    len(items) + 1) AS b_end
+  FROM b
+), blk AS (
+  SELECT host_id,
+    list_filter(items, s -> s.pos > b_start AND s.pos < b_end) AS block
+  FROM b2
+)
+SELECT host_id,
+  COALESCE(array_to_string(list_filter(
+    list_transform(list_filter(block, s -> regexp_matches(s.ln, '^disallow\\s*:')),
+                   s -> trim(regexp_replace(s.ln, '^[a-z-]+\\s*:\\s*', ''))),
+    v -> v != ''), ','), '') AS disallow_csv,
+  CAST(list_extract(
+    list_transform(list_filter(block, s -> regexp_matches(s.ln, '^crawl-delay\\s*:')),
+                   s -> trim(regexp_replace(s.ln, '^[a-z-]+\\s*:\\s*', ''))),
+    1) AS DOUBLE) AS crawl_delay
+FROM blk
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_similar_pairs(
         _read(spark, sf_dir, "documents"), n=2, threshold=0.5
@@ -1913,6 +2095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pagerank": q_pagerank,
         "dup_components": q_dup_components,
+        "asof_match": q_asof_match,
+        "sitemap_ingest": q_sitemap_ingest,
+        "robots_parse": q_robots_parse,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "minhash_exact_check": q_minhash_exact_check,
@@ -1973,6 +2158,9 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "pagerank": _PAGERANK_SQL,
         "dup_components": _DUP_COMPONENTS_SQL,
+        "asof_match": _ASOF_MATCH_SQL,
+        "sitemap_ingest": _SITEMAP_INGEST_SQL,
+        "robots_parse": _ROBOTS_PARSE_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_exact_check": _MINHASH_EXACT_SQL,
         "simhash_planted": _SIMHASH_PLANTED_SQL,

@@ -104,6 +104,12 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
                    max_rounds=32)
         bk_wall = time.time() - t2
     done = summary.visited + summary.extracted
+    # reclaim the synthesized corpora (~1.7GB per 120k pages) — leaked
+    # bench_pages_* dirs once filled the disk across repeated runs
+    import shutil
+
+    shutil.rmtree(pages_dir, ignore_errors=True)
+    shutil.rmtree(bk_dir, ignore_errors=True)
     return {
         "recovery_passes": recovery_passes,
         "recovery_wall_s": round(recovery_wall, 2),
@@ -141,6 +147,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "line_dedup",
     "pagerank",
+    "asof_match",
+    "robots_parse",
+    "sitemap_ingest",
     # dup_components is correctness-tracked (CORRECTNESS + tests) but not
     # benched: at sf0.1 its convergence loop measures per-job scheduling
     # latency (~6 s/iteration on a 245-node graph), not operator throughput

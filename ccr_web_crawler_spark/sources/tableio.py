@@ -94,7 +94,13 @@ class SnapshotStore:
         a column-pruned scan of the files just written — the crash
         window stays zero because the manifest lands last."""
         prev = self.manifest() or {"tables": {}}
-        version = (self.current_version() or 0) + 1
+        # next version = 1 + highest EXISTING snapshot, not 1 + current:
+        # after a rollback the current pointer sits below newer (now
+        # abandoned) snapshots, and a commit must never overwrite one —
+        # the abandoned branch stays on disk as audit trail, exactly
+        # Iceberg's rollback semantics
+        existing = (int(p.stem[1:]) for p in (self.root / "snapshots").glob("v*.json"))
+        version = max(existing, default=0) + 1
         new_tables: dict[str, dict] = {
             k: {"files": list(v["files"]), "lineage": dict(v.get("lineage", {}))}
             for k, v in prev["tables"].items()
@@ -186,6 +192,23 @@ class SnapshotStore:
         tmp2 = self._current_file.with_suffix(".tmp")
         tmp2.write_text(str(version))
         os.replace(tmp2, self._current_file)  # atomic pointer swing
+        return version
+
+    def rollback(self, version: int) -> int:
+        """Swing the current pointer back to an older snapshot (Iceberg
+        rollback): subsequent reads and commits build on that manifest's
+        cumulative file set; snapshots above it stay on disk as an
+        abandoned branch (commit numbers continue past them, never
+        overwriting). Atomic — a crash mid-rollback leaves either the
+        old or the new pointer, both consistent."""
+        try:
+            if self.manifest(version) is None:
+                raise ValueError(f"rollback target v{version} does not exist")
+        except FileNotFoundError:
+            raise ValueError(f"rollback target v{version} does not exist") from None
+        tmp = self._current_file.with_suffix(".tmp")
+        tmp.write_text(str(version))
+        os.replace(tmp, self._current_file)
         return version
 
     def count(self, table: str, version: int | None = None) -> int:

@@ -138,6 +138,23 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
          or "SortMergeJoin" in p),
         ("no unbounded cartesian product", lambda p: "CartesianProduct" not in p),
     ],
+    "asof_match": [
+        ("one shuffle on the key + window carry-forward, no range join",
+         lambda p: "Window" in p and "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("stays JVM-side — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "robots_parse": [
+        ("map-only pass — no shuffle at all", lambda p: "Exchange" not in p),
+        ("higher-order funcs stay JVM-side — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "sitemap_ingest": [
+        ("map-only pass — no shuffle at all", lambda p: "Exchange" not in p),
+        ("single generator explode, no python UDF",
+         lambda p: "Generate" in p and "BatchEvalPython" not in p),
+    ],
     "context_assembly": [
         ("single aggregation keyed on query id (k-bounded groups)",
          lambda p: "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p),

@@ -149,6 +149,10 @@ print("RESULT " + json.dumps({{
     # serial term (driver commit + plan compile) vs row-proportional
     # compute — the Amdahl decomposition BASELINE.md reports
     "round_walls": [[m[1], round(m[5] / 1000, 1)] for m in s.metrics]}}))
+# the synthesized corpus is ~1.7GB per 120k pages; leaked dirs filled
+# the disk once — always reclaim
+import shutil as _sh
+_sh.rmtree(pages_dir, ignore_errors=True)
 """
 
 

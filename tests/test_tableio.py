@@ -49,3 +49,28 @@ def test_lineage_records_round(spark, tmp_path):
     store.commit(7, {"t": (spark.createDataFrame([(1,)], "id int"), APPEND)})
     lineage = store.manifest()["tables"]["t"]["lineage"]
     assert all(v["round"] == 7 for v in lineage.values()) and lineage
+
+
+def test_rollback_swings_pointer_and_branches(spark, tmp_path):
+    """Iceberg rollback: the pointer moves back, reads see the old
+    state, and the next commit branches WITHOUT overwriting the
+    abandoned snapshots."""
+    import pytest
+
+    store = SnapshotStore(tmp_path / "db")
+    store.commit(0, {"t": (spark.createDataFrame([(1,)], "id int"), APPEND)})
+    store.commit(1, {"t": (spark.createDataFrame([(2,)], "id int"), APPEND)})
+    store.commit(2, {"t": (spark.createDataFrame([(3,)], "id int"), APPEND)})
+    assert store.current_version() == 3
+    store.rollback(1)
+    assert store.current_version() == 1
+    assert sorted(r.id for r in store.read(spark, "t").collect()) == [1]
+    # commit on the rolled-back state: new version numbers continue past
+    # the abandoned branch (v2/v3 stay intact on disk)
+    v = store.commit(9, {"t": (spark.createDataFrame([(9,)], "id int"), APPEND)})
+    assert v == 4
+    assert sorted(r.id for r in store.read(spark, "t").collect()) == [1, 9]
+    assert store.manifest(4)["parent"] == 1
+    assert store.manifest(3)["tables"]  # abandoned snapshot untouched
+    with pytest.raises(ValueError):
+        store.rollback(99)
