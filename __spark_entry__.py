@@ -1101,6 +1101,38 @@ FROM blk
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/terms.tfidf_topk):
+    raw tf × ln(N/df), ties broken on the term string. Scores rounded
+    to 6 places on both sides; ranking runs on the unrounded score with
+    a total-order tie-break."""
+    from ccr_web_crawler_spark.operators.terms import tfidf_topk
+
+    out = tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+    return out.select(
+        "doc_id", "term", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_TFIDF_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(
+      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), w -> w != '')) AS term
+  FROM documents
+), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+SELECT doc_id, term, ROUND(tf * ln(n / df), 6) AS score, rank FROM (
+  SELECT doc_id, term, tf, df, n,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf * ln(n / df) DESC, term ASC) AS rank
+  FROM tf JOIN dfq USING (term), nn
+) WHERE rank <= 3
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_similar_pairs(
         _read(spark, sf_dir, "documents"), n=2, threshold=0.5
@@ -2098,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_match": q_asof_match,
         "sitemap_ingest": q_sitemap_ingest,
         "robots_parse": q_robots_parse,
+        "tfidf_topk": q_tfidf_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "minhash_exact_check": q_minhash_exact_check,
@@ -2161,6 +2194,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_match": _ASOF_MATCH_SQL,
         "sitemap_ingest": _SITEMAP_INGEST_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
+        "tfidf_topk": _TFIDF_TOPK_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_exact_check": _MINHASH_EXACT_SQL,
         "simhash_planted": _SIMHASH_PLANTED_SQL,

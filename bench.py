@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "asof_match",
     "robots_parse",
     "sitemap_ingest",
+    "tfidf_topk",
     # dup_components is correctness-tracked (CORRECTNESS + tests) but not
     # benched: at sf0.1 its convergence loop measures per-job scheduling
     # latency (~6 s/iteration on a 245-node graph), not operator throughput

@@ -155,6 +155,14 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("single generator explode, no python UDF",
          lambda p: "Generate" in p and "BatchEvalPython" not in p),
     ],
+    "tfidf_topk": [
+        ("partial (map-side) aggregation on the token explode",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no cartesian beyond the 1-row N factor",
+         lambda p: "CartesianProduct" not in p),
+        ("JVM end-to-end — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
     "context_assembly": [
         ("single aggregation keyed on query id (k-bounded groups)",
          lambda p: "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p),
