@@ -265,8 +265,18 @@ def main() -> None:
             lines.append(f"- **{mark}** {desc}")
             print(f"{name:24s} {mark}  {desc}")
         lines.append("")
+        # assertions run on the FULL plan text above; the document keeps
+        # a reviewable excerpt — iterative queries (pagerank, CC) carry
+        # every persisted generation's lineage and explode to 10^5+
+        # lines, which once ballooned PLANS.md to 77 MB
+        plan_lines = plan.rstrip().splitlines()
+        if len(plan_lines) > 400:
+            plan_lines = plan_lines[:400] + [
+                f"... [truncated: {len(plan_lines)} total lines; assertions "
+                "evaluated on the full plan]"
+            ]
         lines.append("```")
-        lines.append(plan.rstrip())
+        lines.extend(plan_lines)
         lines.append("```")
         lines.append("")
     if only:
