@@ -20,6 +20,7 @@ Cross-engine exactness rules used throughout (Spark vs DuckDB):
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 from collections.abc import Callable
@@ -1022,7 +1023,7 @@ def _robots_rows(spark, sf_dir):
     t0 = (
         "User-agent: googlebot" + nl + "Disallow: /g" + nl + "User-agent: *" + nl
         + "Disallow: /private" + nl + "Crawl-delay: 2" + nl + "disallow:" + nl
-        + "Disallow: /tmp" + nl + "User-agent: other" + nl + "Disallow: /y"
+        + "DISALLOW: /Tmp/Cache" + nl + "User-agent: other" + nl + "Disallow: /y"
     )
     t1 = "User-agent: googlebot" + nl + "Disallow: /all"
     t2 = "user-agent:*" + nl + "crawl-delay: 1.5" + nl + "disallow: /z"
@@ -1042,7 +1043,7 @@ SELECT doc_id AS host_id,
     WHEN 0 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /g' || chr(10)
       || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
       || 'Crawl-delay: 2' || chr(10) || 'disallow:' || chr(10)
-      || 'Disallow: /tmp' || chr(10) || 'User-agent: other' || chr(10) || 'Disallow: /y'
+      || 'DISALLOW: /Tmp/Cache' || chr(10) || 'User-agent: other' || chr(10) || 'Disallow: /y'
     WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /all'
     WHEN 2 THEN 'user-agent:*' || chr(10) || 'crawl-delay: 1.5' || chr(10) || 'disallow: /z'
     ELSE 'User-agent: *'
@@ -1070,7 +1071,7 @@ _ROBOTS_PARSE_SQL = f"""
 WITH r AS ({_ROBOTS_ROWS_SQL}), t AS (
   SELECT host_id,
     list_transform(string_split(robots_txt, chr(10)),
-                   (x, i) -> {{'pos': i, 'ln': lower(trim(x))}}) AS items
+                   (x, i) -> {{'pos': i, 'ln': lower(trim(x)), 'raw': trim(x)}}) AS items
   FROM r
 ), b AS (
   SELECT host_id, items,
@@ -1091,11 +1092,11 @@ WITH r AS ({_ROBOTS_ROWS_SQL}), t AS (
 SELECT host_id,
   COALESCE(array_to_string(list_filter(
     list_transform(list_filter(block, s -> regexp_matches(s.ln, '^disallow\\s*:')),
-                   s -> trim(regexp_replace(s.ln, '^[a-z-]+\\s*:\\s*', ''))),
+                   s -> trim(regexp_replace(s.raw, '^[a-zA-Z-]+\\s*:\\s*', ''))),
     v -> v != ''), ','), '') AS disallow_csv,
   CAST(list_extract(
     list_transform(list_filter(block, s -> regexp_matches(s.ln, '^crawl-delay\\s*:')),
-                   s -> trim(regexp_replace(s.ln, '^[a-z-]+\\s*:\\s*', ''))),
+                   s -> trim(regexp_replace(s.raw, '^[a-zA-Z-]+\\s*:\\s*', ''))),
     1) AS DOUBLE) AS crawl_delay
 FROM blk
 """
@@ -1777,6 +1778,28 @@ FROM documents
 
 # --- crawl engine end-to-end (rows-only: HTML extraction isn't SQL)
 
+# The three crawl queries and their oracles share ONE planted site
+# (120 pages, 4 hosts): the pages relation is synthesized once per
+# session and localCheckpoint-pinned (120 fixture rows — bounded), and
+# the python-side site dict is lru_cached, so the driver's oracle run
+# pays the synthesis cost once instead of three times (round 3's run
+# timed out re-building per-query corpora).
+_CRAWL_N_PAGES, _CRAWL_N_HOSTS = 120, 4
+_SYNTH_PAGES_CACHE: dict = {}
+
+
+def _crawl_pages(spark):
+    from ccr_web_crawler_spark.sources.synth import synth_pages
+
+    key = (id(spark.sparkContext), _CRAWL_N_PAGES, _CRAWL_N_HOSTS)
+    df = _SYNTH_PAGES_CACHE.get(key)
+    if df is None:
+        df = synth_pages(
+            spark, n_pages=_CRAWL_N_PAGES, n_hosts=_CRAWL_N_HOSTS
+        ).localCheckpoint(eager=True)
+        _SYNTH_PAGES_CACHE[key] = df
+    return df
+
 
 def q_crawl_round0(spark, sf_dir):
     """Seed → round 0 over the deterministic synthetic web: fetch-join,
@@ -1787,9 +1810,9 @@ def q_crawl_round0(spark, sf_dir):
     additionally pinned in tests/."""
     from ccr_web_crawler_spark.plans.driver import init_frontier
     from ccr_web_crawler_spark.plans.round import RoundConfig, run_round
-    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_seeds
+    from ccr_web_crawler_spark.sources.synth import synth_seeds
 
-    pages = synth_pages(spark, n_pages=200, n_hosts=4)
+    pages = _crawl_pages(spark)
     cfg = RoundConfig(seq_partitions=4)
     frontier = init_frontier(spark, synth_seeds(spark), cfg)
     r = run_round(spark, 0, frontier, None, None, None, pages, None, cfg)
@@ -1803,15 +1826,15 @@ def q_crawl_extracted(spark, sf_dir):
     literal SQL."""
     from ccr_web_crawler_spark.plans.driver import crawl
     from ccr_web_crawler_spark.plans.round import RoundConfig
-    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_robots, synth_seeds
+    from ccr_web_crawler_spark.sources.synth import synth_robots, synth_seeds
     from ccr_web_crawler_spark.sources.tableio import SnapshotStore
 
-    pages = synth_pages(spark, n_pages=200, n_hosts=4)
+    pages = _crawl_pages(spark)
     with tempfile.TemporaryDirectory() as tmp:
         store = SnapshotStore(os.path.join(tmp, "crawl"))
         crawl(
             spark, pages, synth_seeds(spark), store,
-            RoundConfig(seq_partitions=4), robots=synth_robots(spark, 4),
+            RoundConfig(seq_partitions=4), robots=synth_robots(spark, _CRAWL_N_HOSTS),
             max_rounds=2,
         )
         ext = store.read(spark, "extracted")
@@ -1830,7 +1853,13 @@ def q_crawl_extracted(spark, sf_dir):
 #     is separately pinned by the golden tests).
 
 
-def _py_site(n_pages: int = 200, n_hosts: int = 4) -> dict[str, str]:
+def _py_site(n_pages: int = _CRAWL_N_PAGES, n_hosts: int = _CRAWL_N_HOSTS) -> dict[str, str]:
+    """lru-cached: the three crawl oracles share one rendered site."""
+    return _py_site_cached(n_pages, n_hosts)
+
+
+@functools.lru_cache(maxsize=4)
+def _py_site_cached(n_pages: int, n_hosts: int) -> dict[str, str]:
     from ccr_web_crawler_spark.sources.synth import plan_site, render_page
 
     site = {}
@@ -1936,10 +1965,10 @@ def q_crawl_backlog(spark, sf_dir):
     and admission order) is pinned in tests/test_backlog.py."""
     from ccr_web_crawler_spark.plans.driver import crawl
     from ccr_web_crawler_spark.plans.round import RoundConfig
-    from ccr_web_crawler_spark.sources.synth import synth_pages, synth_seeds
+    from ccr_web_crawler_spark.sources.synth import synth_seeds
     from ccr_web_crawler_spark.sources.tableio import SnapshotStore
 
-    pages = synth_pages(spark, n_pages=120, n_hosts=4)
+    pages = _crawl_pages(spark)
     with tempfile.TemporaryDirectory() as tmp:
         store = SnapshotStore(os.path.join(tmp, "bk"))
         crawl(
@@ -1962,7 +1991,7 @@ def _crawl_backlog_oracle_sql() -> str:
 
     from ccr_web_crawler_spark.functions.htmlx.links import extract_links
 
-    site = _py_site(120, 4)
+    site = _py_site()
     queue = deque(["https://host0.example/calregs/Index"])
     visited: set[str] = set()
     while queue:
@@ -2104,6 +2133,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # crawl end-to-end + multimodal FIRST: these are the slowest
+        # rows (each builds/uses the shared synthetic corpus), and round
+        # 3's driver run was cut off before reaching them at the tail —
+        # registration order is execution order, so the queries most at
+        # risk of a truncated run now certify first.
+        "crawl_round0": q_crawl_round0,
+        "crawl_extracted": q_crawl_extracted,
+        "crawl_backlog": q_crawl_backlog,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         # relational core
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2161,12 +2200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_index": q_build_index,
         # streaming admission (batch form of the stateful operator)
         "admit_stream": q_admit_stream,
-        # crawl end-to-end + multimodal
-        "crawl_round0": q_crawl_round0,
-        "crawl_extracted": q_crawl_extracted,
-        "crawl_backlog": q_crawl_backlog,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
     }
 
 

@@ -167,17 +167,47 @@ BENCH_QUERIES = [
 
 
 def load_scaling() -> dict | None:
-    """Most recent scaling-efficiency measurement (north_rule: same job,
-    same input, N vs 4N executors — local-cluster[1,2] vs
-    local-cluster[4,2]; produced by ``scripts/scaling_bench.py`` which
-    writes SCALING.json). Embedded in the bench line so per-round BENCH
-    records carry the evidence next to the throughput it qualifies."""
+    """COMPACT summary of the most recent scaling-efficiency measurement
+    (north_rule: same job, same input, N vs 4N parallelism; produced by
+    scripts/scaling_bench.py + scripts/samewindow_scaling.py which write
+    SCALING.json / SAMEWINDOW.json).
+
+    Round 3's BENCH line embedded the FULL scaling history (per-round
+    wall arrays, every interleaved cycle) and blew past the driver's
+    stdout tail-capture window — ``"parsed": null``. The bench line now
+    carries only the headline numbers; the full evidence stays in
+    SCALING.json."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
     try:
         with open(path) as f:
-            return json.load(f)
+            s = json.load(f)
     except (OSError, ValueError):
         return None
+    out: dict = {"detail": "SCALING.json"}
+    for k in ("n_pages", "mode", "best_lo_pps", "best_hi_pps", "speedup",
+              "scaling_efficiency", "capacity_normalized_efficiency"):
+        if k in s:
+            out[k] = s[k]
+    sw = s.get("samewindow")
+    if isinstance(sw, dict):
+        out["samewindow"] = {
+            k: sw[k]
+            for k in ("n_pages", "raw_efficiency_same_window",
+                      "host_capacity_factor_same_window",
+                      "normalized_efficiency_same_window",
+                      "per_cycle_normalized")
+            if k in sw
+        }
+    curve = s.get("curve")
+    if isinstance(curve, list):
+        out["curve"] = [
+            {k: p[k] for k in ("n_pages", "same_window", "raw_efficiency",
+                               "normalized_efficiency",
+                               "normalized_efficiency_same_window")
+             if k in p}
+            for p in curve if isinstance(p, dict)
+        ]
+    return out
 
 
 def main() -> None:

@@ -114,12 +114,12 @@ def dedup_lines(
 
     Scale shape: posexplode (narrow) → one groupBy shuffle on the line
     fingerprint to compute document frequency → broadcast-or-shuffle
-    hash anti-join of lines against the boilerplate set → one groupBy
-    shuffle on the doc id to reassemble. The boilerplate set is tiny
-    relative to the corpus (it's the HIGH-df tail), so at 10^10 docs
-    the anti-join's build side stays broadcastable; no all-pairs work
-    anywhere. Blank lines are never counted or dropped (they carry no
-    content and would otherwise all collide)."""
+    hash join of lines against the boilerplate set (AQE decides from
+    the measured build-side size — the set is usually the tiny HIGH-df
+    tail, but it is not bounded by construction, so no broadcast hint
+    is forced) → one groupBy shuffle on the doc id to reassemble. No
+    all-pairs work anywhere. Blank lines are never counted or dropped
+    (they carry no content and would otherwise all collide)."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
@@ -134,7 +134,11 @@ def dedup_lines(
         .filter(F.col("line_df") > max_doc_freq)
         .select("line_fp")
     )
-    flagged = lines.join(F.broadcast(boiler.withColumn("__drop", F.lit(True))), "line_fp", "left").withColumn(
+    # no forced broadcast: the boilerplate set is USUALLY tiny (high-df
+    # tail) but is unbounded in principle — let AQE pick broadcast vs
+    # shuffle from the measured build-side size at runtime rather than
+    # pinning an OOM-able hint
+    flagged = lines.join(boiler.withColumn("__drop", F.lit(True)), "line_fp", "left").withColumn(
         "keep", F.coalesce(~F.col("__drop"), F.lit(True)) | ~nonblank
     )
     return flagged.groupBy(id_col).agg(

@@ -15,9 +15,18 @@ Scale notes (10^10 nodes):
   aggregation (shuffle on dst) — the same two shuffles Pregel-style
   systems pay; pre-partitioning both edge directions by their join key
   would co-locate them across iterations on a real cluster;
-* ranks/labels persist per iteration and the previous iteration is
-  unpersisted, so lineage stays O(1) deep (a 30-iteration plan would
-  otherwise recompute the whole chain per action);
+* each generation's LINEAGE IS CUT with a checkpoint (``_next_gen``):
+  every iteration references the previous generation 2-3×, so with
+  persist alone the logical plan tree doubles per iteration —
+  execution stays cached but Catalyst re-optimization and the
+  listener's plan stringification walk the exponential tree (measured:
+  ~90 s of pure ``generateTreeString`` CPU by iteration 10 of a
+  10-node-chain CC). GraphFrames checkpoints its CC every 2 iterations
+  for exactly this reason; here every generation is already
+  materialized (the convergence check / generation release needs it),
+  so the cut is free. A reliable checkpoint is used when the context
+  has a checkpoint dir (production — survives executor loss);
+  otherwise ``localCheckpoint`` (local/test mode);
 * connected_components is hash-min label propagation: O(diameter)
   rounds, which on web graphs is small (~20); the O(log n)
   alternating large-star/small-star variant (Kiveris et al., "Connected
@@ -46,6 +55,28 @@ def _nodes_of(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _next_gen(df: DataFrame) -> DataFrame:
+    """Materialize one iteration's output AND cut its plan lineage.
+
+    Returns a DataFrame backed by the computed blocks with an O(1)
+    logical plan (a scan leaf), so the next iteration's plan does not
+    embed this one's — see the module docstring for why persist alone
+    is not enough (exponential plan-tree growth). Reliable checkpoint
+    when ``spark.sparkContext.setCheckpointDir`` was called (the
+    production setting — generation blocks survive executor loss);
+    ``localCheckpoint`` otherwise. Superseded generations are released
+    by the context cleaner when their python/JVM references drop at
+    the next rebind."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:  # noqa: BLE001 — API variance across versions
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -69,9 +100,10 @@ def pagerank(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    ranks = nodes.crossJoin(n1).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    ranks = _next_gen(
+        nodes.crossJoin(n1).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    )
     for _ in range(n_iter):
-        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         contrib = (
             e.join(ranks, e.src == ranks.id)
             .join(outdeg, "src")
@@ -85,8 +117,11 @@ def pagerank(
             .agg(F.sum(F.col("r").cast(_DEC)).cast("double").alias("dang"))
             .select(F.coalesce("dang", F.lit(0.0)).alias("dang"))
         )
-        prev = ranks
-        ranks = (
+        # _next_gen materializes the new generation (both uses of the
+        # previous one — contrib + dangling — read its checkpoint
+        # blocks) and cuts the plan, so the loop's plan/lineage cost is
+        # O(1) per iteration instead of doubling
+        ranks = _next_gen(
             nodes.join(contrib, "id", "left")
             .crossJoin(n1)
             .crossJoin(dangling)
@@ -99,11 +134,6 @@ def pagerank(
                 ).alias("r"),
             )
         )
-        # materialize the new ranks, then release the old generation so
-        # lineage depth and cached generations both stay O(1)
-        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-        ranks.count()
-        prev.unpersist()
     out = ranks.select("id", F.col("r").alias("rank"))
     nodes.unpersist()
     outdeg.unpersist()
@@ -115,6 +145,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components by hash-min label propagation: every node
     starts labeled with its own id; each round every node takes the
@@ -126,32 +157,54 @@ def connected_components(
 
     Rounds = graph diameter (small on web/dup graphs: near-dup clusters
     are dense, diameter 2-3). Each round: one join (shuffle on id) +
-    one min-agg (shuffle on neighbor) + one scalar convergence count."""
+    one min-agg (shuffle on neighbor) + one scalar convergence count.
+
+    No-silent-caps: if propagation has not converged after ``max_iter``
+    rounds (a long-path graph with eccentricity > max_iter), the labels
+    are only partially propagated — ``strict=True`` raises, the default
+    emits a ``RuntimeWarning`` with the residual changed-label count so
+    a caller never mistakes truncated labels for converged components."""
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.persist(StorageLevel.MEMORY_AND_DISK)
-    labels = _nodes_of(und, "a", "b").select("id", F.col("id").alias("label"))
+    labels = _next_gen(
+        _nodes_of(und, "a", "b").select("id", F.col("id").alias("label"))
+    )
+    changed = 0
     for _ in range(max_iter):
-        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
         neigh_min = (
             und.join(labels, und.a == labels.id)
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
         prev = labels
-        labels = (
+        # lineage cut per generation (see _next_gen): the convergence
+        # join below compares two checkpoint leaves, not two copies of
+        # the whole iteration history
+        labels = _next_gen(
             labels.join(neigh_min, "id", "left")
             .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
             labels.join(prev.withColumnRenamed("label", "old"), "id")
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        prev.unpersist()
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing) — returned labels are "
+            "partially propagated; raise max_iter (rounds needed = graph "
+            "eccentricity)"
+        )
+        if strict:
+            und.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     out = labels.select("id", F.col("label").alias("component"))
     und.unpersist()
     return out

@@ -34,7 +34,14 @@ def asof_join(
     matches, the standard ASOF convention). Right's value columns come
     back prefixed ``r_``; its timestamp as ``r_{right_ts}``. With
     ``how='inner'``, left rows with no prior right row are dropped;
-    ``'left'`` keeps them with nulls."""
+    ``'left'`` keeps them with nulls.
+
+    Ties: when several right rows share the same (key, timestamp), the
+    matched payload is deterministic — the row with the greatest
+    ``xxhash64`` of its payload struct wins (arbitrary but stable
+    across runs and partitionings; identical payloads tie harmlessly).
+    Callers needing a semantic tiebreak should pre-aggregate the right
+    side to one row per (key, ts)."""
     rts = right_ts or ts
     rvals = [c for c in right.columns if c not in (on, rts)]
     r = right.select(
@@ -54,14 +61,21 @@ def asof_join(
         F.struct(*lcols).alias("__l"),
     )
     # __side orders a right row BEFORE a left row at the same instant,
-    # making the match inclusive
+    # making the match inclusive. __tb breaks ties among MULTIPLE right
+    # rows at the same (key, ts): without it the carried payload would
+    # be whichever row the shuffle happened to order last — i.e.
+    # nondeterministic across runs/partitionings. xxhash64 of the
+    # payload struct is a stable content-derived total order (ties in
+    # it mean identical payloads, where the choice is immaterial), so
+    # the winner is deterministic: the max-hash payload at that instant.
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
         l.unionByName(r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType)))
+        .withColumn("__tb", F.xxhash64("__r"))
         .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )

@@ -37,8 +37,13 @@ def sitemap_urls(df: DataFrame, host_col: str = "host", xml_col: str = "xml") ->
     )
 
 
-def _directive_value(ln: Column) -> Column:
-    return F.trim(F.regexp_replace(ln, r"^[a-z-]+\s*:\s*", ""))
+def _directive_value(raw: Column) -> Column:
+    # strip the directive name case-insensitively but KEEP the value's
+    # original case: robots path prefixes are case-sensitive (RFC 9309
+    # §2.2.2) and the politeness filter matches them with a
+    # case-sensitive startswith — lowercasing here would let
+    # 'Disallow: /Admin' pages through.
+    return F.trim(F.regexp_replace(raw, r"(?i)^[a-z-]+\s*:\s*", ""))
 
 
 def parse_robots(
@@ -64,9 +69,16 @@ def parse_robots(
     re-evaluating the split per sub-expression costs less than one
     shuffle would; the whole operator fuses into the scan."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
+    # ln = lowercased for case-insensitive directive MATCHING;
+    # raw = original case for VALUE extraction (path prefixes are
+    # case-sensitive)
     items = F.transform(
         F.split(txt, "\n"),
-        lambda x, i: F.struct((i + 1).alias("pos"), F.lower(F.trim(x)).alias("ln")),
+        lambda x, i: F.struct(
+            (i + 1).alias("pos"),
+            F.lower(F.trim(x)).alias("ln"),
+            F.trim(x).alias("raw"),
+        ),
     )
     b_start = F.get(
         F.filter(items, lambda s: s.ln.rlike(r"^user-agent\s*:\s*\*$")), 0
@@ -86,14 +98,14 @@ def parse_robots(
     disallows = F.filter(
         F.transform(
             F.filter(block, lambda s: s.ln.rlike(r"^disallow\s*:")),
-            lambda s: _directive_value(s.ln),
+            lambda s: _directive_value(s.raw),
         ),
         lambda v: v != "",
     )
     delay = F.get(
         F.transform(
             F.filter(block, lambda s: s.ln.rlike(r"^crawl-delay\s*:")),
-            lambda s: _directive_value(s.ln),
+            lambda s: _directive_value(s.raw),
         ),
         0,
     ).cast("double")

@@ -321,11 +321,23 @@ def fetch_join(
         # stats skip everything but the row groups holding this round's
         # urls. The collect is bounded by fetch_pushdown_limit and runs
         # over the round-sized candidate relation, never the corpus.
+        #
+        # Determinism: when pushdown triggers, the collected probe rows
+        # THEMSELVES become the candidate side of both joins below
+        # (a ≤limit-row local relation), so a nondeterministic upstream
+        # candidates plan can never disagree with the pushed pages
+        # filter — which would silently record real hits as misses.
+        # Rounds above the limit keep the original (lazy) relation;
+        # both engine callers checkpoint it first (run_round's `unseen`,
+        # recover's `retry`).
         limit = cfg.fetch_pushdown_limit
         if limit:
-            probe = candidates.select("url_canon").limit(limit + 1).collect()
+            probe = candidates.limit(limit + 1).collect()
             if len(probe) <= limit:
-                urls = [r[0] for r in probe]
+                candidates = pages.sparkSession.createDataFrame(
+                    probe, candidates.schema
+                )
+                urls = [r["url_canon"] for r in probe]
                 pushed = F.col("url_canon").isin(urls) if urls else F.lit(False)
                 pages_proj = pages_proj.filter(pushed)
                 page_urls = page_urls.filter(pushed)

@@ -57,3 +57,27 @@ def test_connected_components_direction_irrelevant(spark):
     df = spark.createDataFrame([(5, 4), (3, 4), (2, 3)], "src long, dst long")
     out = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert set(out.values()) == {2}
+
+
+def test_connected_components_warns_when_max_iter_exhausted(spark):
+    # 10-node path, eccentricity 9 > max_iter=3: hash-min cannot have
+    # converged — the no-silent-caps contract requires a RuntimeWarning
+    # (default) or a raise (strict=True), never silent truncated labels
+    import warnings
+
+    import pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(df, max_iter=3).collect()
+    assert len(out) == 10
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("not converged" in m for m in msgs), msgs
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(df, max_iter=3, strict=True)
+    # a converged run stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(df, max_iter=15).collect()
+    assert not [w for w in caught if w.category is RuntimeWarning]

@@ -54,6 +54,26 @@ def test_asof_join_keeps_left_columns(spark):
     assert (row["id"], row["user"], row["score"], row["r_n"]) == (1, "u", 9.5, 3)
 
 
+def test_asof_join_tie_is_deterministic_across_partitionings(spark):
+    """Several right rows at the SAME (key, ts): the matched payload
+    must not depend on shuffle order — the content-hash tiebreak picks
+    one stable winner however the right side is partitioned."""
+    left = spark.createDataFrame(
+        [(1, "u", _t("2024-01-01T13:00:00"))], "id long, user string, ts timestamp"
+    )
+    rows = [("u", _t("2024-01-01T12:00:00"), tag) for tag in
+            ["alpha", "bravo", "charlie", "delta", "echo"]]
+    right = spark.createDataFrame(rows, "user string, ts timestamp, tag string")
+    winners = set()
+    for shaped in (right.coalesce(1), right.repartition(7),
+                   right.repartition(3, "tag"),
+                   right.orderBy(F.desc("tag")), right.orderBy("tag")):
+        got = asof_join(left, shaped, on="user").collect()
+        assert len(got) == 1
+        winners.add(got[0]["r_tag"])
+    assert len(winners) == 1, winners
+
+
 ROBOTS = """User-agent: googlebot
 Disallow: /google-only
 
@@ -93,6 +113,31 @@ def test_parse_robots_edge_shapes(spark):
     assert out["null"]["disallow_prefixes"] == []
 
 
+def test_parse_robots_preserves_value_case(spark):
+    """Directive names match case-insensitively but path VALUES keep
+    their original case (RFC 9309 §2.2.2) — 'Disallow: /Admin' must
+    block '/Admin' in the case-sensitive politeness filter."""
+    from ccr_web_crawler_spark.operators.politeness import apply_robots
+
+    txt = "User-Agent: *\nDISALLOW: /Admin\ndisallow: /Data/Raw\nCRAWL-DELAY: 2"
+    df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    robots = parse_robots(df)
+    row = robots.collect()[0]
+    assert row["disallow_prefixes"] == ["/Admin", "/Data/Raw"]
+    assert row["crawl_delay"] == 2.0
+    frontier = spark.createDataFrame(
+        [
+            ("h", "https://h/Admin/x"),   # blocked (exact case)
+            ("h", "https://h/admin/x"),   # NOT blocked (different case)
+            ("h", "https://h/Data/Raw"),  # blocked
+            ("h", "https://h/ok"),
+        ],
+        "host string, url_canon string",
+    )
+    kept = sorted(r["url_canon"] for r in apply_robots(frontier, robots).collect())
+    assert kept == ["https://h/admin/x", "https://h/ok"]
+
+
 def test_sitemap_urls_extracts_in_order(spark):
     xml = (
         "<urlset><url><loc> https://h/a </loc></url>"
@@ -111,15 +156,19 @@ def _reference_parse(text):
     same robots subset — pins the distributed HOF state machine."""
     prefixes, delay, in_star, seen_star = [], None, False, False
     for raw in (text or "").split("\n"):
-        ln = raw.strip().lower()
+        stripped = raw.strip()
+        ln = stripped.lower()  # directive matching is case-insensitive ...
         if ln.startswith("user-agent"):
             head, _, agent = ln.partition(":")
             if head.rstrip() == "user-agent":
                 in_star = (not seen_star) and agent.strip() == "*"
                 seen_star = seen_star or in_star
         elif in_star:
-            head, colon, val = ln.partition(":")
-            head, val = head.rstrip(), val.strip()
+            head, colon, _ = ln.partition(":")
+            head = head.rstrip()
+            # ... but the VALUE keeps its original case (path prefixes
+            # are case-sensitive, RFC 9309 §2.2.2)
+            val = stripped.partition(":")[2].strip()
             if colon and head == "disallow" and val:
                 prefixes.append(val)
             elif colon and head == "crawl-delay" and delay is None:
@@ -136,7 +185,8 @@ def test_parse_robots_matches_reference_parser(spark):
     rng = random.Random(42)
     agents = ["*", "googlebot", "bing", "*"]
     directives = ["Disallow: /a", "disallow: /b/c", "Disallow:", "Crawl-delay: 3",
-                  "crawl-delay: 0.5", "Allow: /ok", "# comment", ""]
+                  "crawl-delay: 0.5", "Allow: /ok", "# comment", "",
+                  "Disallow: /Admin/Panel", "DISALLOW: /CaseTest"]
     files = []
     for i in range(40):
         lines = []
