@@ -104,40 +104,53 @@ def pagerank(
         nodes.crossJoin(n1).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
     )
     for _ in range(n_iter):
-        contrib = (
-            e.join(ranks, e.src == ranks.id)
-            .join(outdeg, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(
-                F.sum((F.col("r") / F.col("od")).cast(_DEC)).cast("double").alias("c")
-            )
-        )
-        dangling = (
-            ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
-            .agg(F.sum(F.col("r").cast(_DEC)).cast("double").alias("dang"))
-            .select(F.coalesce("dang", F.lit(0.0)).alias("dang"))
-        )
         # _next_gen materializes the new generation (both uses of the
         # previous one — contrib + dangling — read its checkpoint
         # blocks) and cuts the plan, so the loop's plan/lineage cost is
         # O(1) per iteration instead of doubling
-        ranks = _next_gen(
-            nodes.join(contrib, "id", "left")
-            .crossJoin(n1)
-            .crossJoin(dangling)
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping)
-                    * (F.coalesce("c", F.lit(0.0)) + F.col("dang") / F.col("n"))
-                ).alias("r"),
-            )
-        )
+        ranks = _next_gen(_pagerank_step(e, nodes, outdeg, n1, ranks, damping))
     out = ranks.select("id", F.col("r").alias("rank"))
     nodes.unpersist()
     outdeg.unpersist()
     return out
+
+
+def _pagerank_step(
+    e: DataFrame,
+    nodes: DataFrame,
+    outdeg: DataFrame,
+    n1: DataFrame,
+    ranks: DataFrame,
+    damping: float,
+) -> DataFrame:
+    """One PageRank iteration as a pure plan (un-materialized) — split
+    out so the physical-plan audit (scripts/explain_audit.py) can pin
+    the per-iteration join/agg shapes, which the checkpoint leaf hides
+    from the final plan."""
+    contrib = (
+        e.join(ranks, e.src == ranks.id)
+        .join(outdeg, "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum((F.col("r") / F.col("od")).cast(_DEC)).cast("double").alias("c"))
+    )
+    dangling = (
+        ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
+        .agg(F.sum(F.col("r").cast(_DEC)).cast("double").alias("dang"))
+        .select(F.coalesce("dang", F.lit(0.0)).alias("dang"))
+    )
+    return (
+        nodes.join(contrib, "id", "left")
+        .crossJoin(n1)
+        .crossJoin(dangling)
+        .select(
+            "id",
+            (
+                F.lit(1.0 - damping) / F.col("n")
+                + F.lit(damping)
+                * (F.coalesce("c", F.lit(0.0)) + F.col("dang") / F.col("n"))
+            ).alias("r"),
+        )
+    )
 
 
 def connected_components(
@@ -172,19 +185,11 @@ def connected_components(
     )
     changed = 0
     for _ in range(max_iter):
-        neigh_min = (
-            und.join(labels, und.a == labels.id)
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
         prev = labels
         # lineage cut per generation (see _next_gen): the convergence
         # join below compares two checkpoint leaves, not two copies of
         # the whole iteration history
-        labels = _next_gen(
-            labels.join(neigh_min, "id", "left")
-            .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-        )
+        labels = _next_gen(_cc_step(und, labels))
         changed = (
             labels.join(prev.withColumnRenamed("label", "old"), "id")
             .filter(F.col("label") != F.col("old"))
@@ -208,3 +213,16 @@ def connected_components(
     out = labels.select("id", F.col("label").alias("component"))
     und.unpersist()
     return out
+
+
+def _cc_step(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hash-min label-propagation round as a pure plan — split out
+    for the physical-plan audit (see _pagerank_step)."""
+    neigh_min = (
+        und.join(labels, und.a == labels.id)
+        .groupBy(F.col("b").alias("id"))
+        .agg(F.min("label").alias("nlabel"))
+    )
+    return labels.join(neigh_min, "id", "left").select(
+        "id", F.least("label", F.coalesce("nlabel", "label")).alias("label")
+    )

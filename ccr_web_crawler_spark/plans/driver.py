@@ -388,8 +388,15 @@ def recover(
                 F.col("extraction_status") == "success"
             ).select(F.col("url").alias("url_canon"))
         retry = retry_candidates(failures, succeeded, cfg.max_attempts)
-        # the retry list is failure-sized (small); materialize once so
-        # the emptiness probe and the fetch share the work
+        # BOUNDED localCheckpoint — the invariant that keeps this safe
+        # where a corpus checkpoint is not (_corpus_urls): |retry| <=
+        # |distinct failed urls| <= one crawl's failure row count, i.e.
+        # round-sized, never corpus-sized. Materializing once lets the
+        # emptiness probe, the pushdown probe and the fetch share the
+        # work AND pins the row set, which the fetch pushdown's
+        # probe/join consistency relies on (plans/round.fetch_join).
+        # An executor loss during a wave costs only that wave's retry
+        # list — recomputed from the durable failures table on rerun.
         retry = retry.localCheckpoint(eager=True)
         if retry.isEmpty():
             break

@@ -62,6 +62,61 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
          "(est filter below the shingle join in the plan text)",
          lambda p: "est_jaccard" in p),
     ],
+    "lsh_ann": [
+        # the 100TB shape: banded queries broadcast into the bucket
+        # join; the corpus explodes bands map-side and never shuffles;
+        # exact re-rank runs only inside candidate buckets
+        ("band bucket join broadcasts the query side (corpus never shuffles)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian product anywhere (bucket join, not all-pairs)",
+         lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("re-rank is a per-query window over candidates only",
+         lambda p: "Window" in p),
+        ("signatures via Arrow-batched pandas UDF (no row-at-a-time python)",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+    ],
+    "ivf_ann": [
+        ("probe join broadcasts the (query x nprobe) side on centroid_id",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian product (cell-pruned candidates, not all-pairs)",
+         lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("top-k is a per-query window over the probed cells only",
+         lambda p: "Window" in p),
+        ("centroid assignment via Arrow-batched pandas UDF",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+    ],
+    "embedding_neardup": [
+        # registered with use_lsh=False (the exact small-N oracle shape,
+        # a self-join bounded by id<id) — the assertion pins that even
+        # the exact path is a JOIN with the inequality applied, never an
+        # unconditioned cartesian of the corpus against itself; the LSH
+        # scale path's banded shape is pinned by the lsh_ann section +
+        # tests/test_dedup.py
+        ("pair generation is a join, not an unconditioned cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("cosine stays JVM-side (higher-order functions, no python UDF)",
+         lambda p: "BatchEvalPython" not in p),
+    ],
+    "build_index": [
+        ("embed UDF is Arrow-batched (iterator pandas UDF), not per-row python",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        # dropDuplicates(url) compiles to a partial+final keyed
+        # aggregate around ONE hash exchange on url (SortAggregate here
+        # — the struct meta payload is not hash-aggregable; its sorts
+        # are per-partition, keyed on url). What must NOT appear is a
+        # range exchange (global sort).
+        ("upsert-dedup is a keyed aggregate on url around a hash exchange "
+         "(no global/range sort)",
+         lambda p: ("Aggregate" in p) and "hashpartitioning" in p
+         and "rangepartitioning" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "sessionize": [
+        ("one exchange on the session key feeds both windows (gap lag + session id)",
+         lambda p: "Window" in p and "CartesianProduct" not in p),
+        ("JVM end-to-end — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
     "politeness_admit": [
         ("two-level window: salted first pass (host+salt partition key)",
          lambda p: re.search(r"Window.*(pmod|salt)", p, re.S) is not None
@@ -122,20 +177,43 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
     "pagerank": [
+        # since round 4 each generation's lineage is CUT with a
+        # checkpoint (operators/graph.py:_next_gen) — the returned plan
+        # must be a leaf scan of the final generation's blocks, NOT an
+        # exponentially-nested join tree (the round-3 plan embedded the
+        # whole iteration history and its stringification alone burned
+        # minutes of driver CPU). The per-iteration join shapes are
+        # audited separately in pagerank_step below.
+        ("final generation is a checkpoint-leaf scan (lineage cut)",
+         lambda p: "Scan ExistingRDD" in p),
+        ("no exponential plan tree (single-page plan text)",
+         lambda p: len(p.splitlines()) < 60),
+        ("no unbounded cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "pagerank_step": [
         # the 1-row scalar factors (n, dangling) legitimately enter as
         # broadcast nested loops; the per-edge contribution join must
         # be a hash join, and nothing may be an unbounded cartesian
         ("per-edge contribution join is a hash join",
          lambda p: "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
          or "SortMergeJoin" in p),
+        ("previous generation read from its checkpoint leaf, not recomputed",
+         lambda p: "Scan ExistingRDD" in p),
         ("no unbounded cartesian product", lambda p: "CartesianProduct" not in p),
-        ("iteration generations come from cache, not recompute",
-         lambda p: "InMemoryTableScan" in p or "TableCacheQueryStage" in p),
     ],
     "dup_components": [
+        ("final labels are a checkpoint-leaf scan (lineage cut)",
+         lambda p: "Scan ExistingRDD" in p),
+        ("no exponential plan tree (single-page plan text)",
+         lambda p: len(p.splitlines()) < 60),
+        ("no unbounded cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "cc_step": [
         ("label-propagation join is a hash join",
          lambda p: "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
          or "SortMergeJoin" in p),
+        ("previous generation read from its checkpoint leaf, not recomputed",
+         lambda p: "Scan ExistingRDD" in p),
         ("no unbounded cartesian product", lambda p: "CartesianProduct" not in p),
     ],
     "asof_match": [
@@ -219,6 +297,54 @@ def build_backlog_round(spark, sf_dir):
     return res.next_frontier
 
 
+def build_pagerank_step(spark, sf_dir):
+    """One un-checkpointed PageRank iteration over a checkpoint-leaf
+    previous generation — the per-iteration shape pagerank's final
+    (lineage-cut) plan no longer shows."""
+    import pyspark.sql.functions as F
+
+    from ccr_web_crawler_spark.operators.graph import (
+        _next_gen,
+        _nodes_of,
+        _pagerank_step,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 100) for i in range(400)], "src long, dst long"
+    )
+    e = edges.select("src", "dst").distinct()
+    nodes = _nodes_of(e, "src", "dst")
+    n1 = nodes.agg(F.count("*").cast("double").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    ranks = _next_gen(
+        nodes.crossJoin(n1).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    )
+    return _pagerank_step(e, nodes, outdeg, n1, ranks, 0.85)
+
+
+def build_cc_step(spark, sf_dir):
+    """One un-checkpointed hash-min propagation round (see
+    build_pagerank_step)."""
+    import pyspark.sql.functions as F
+
+    from ccr_web_crawler_spark.operators.graph import _cc_step, _next_gen, _nodes_of
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "src long, dst long"
+    )
+    fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    und = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = _next_gen(_nodes_of(und, "a", "b").select("id", F.col("id").alias("label")))
+    return _cc_step(und, labels)
+
+
+_BUILDERS = {
+    "backlog_round": lambda spark, sf: build_backlog_round(spark, sf),
+    "pagerank_step": build_pagerank_step,
+    "cc_step": build_cc_step,
+}
+
+
 def formatted_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -247,8 +373,8 @@ def main() -> None:
     for name, checks in CHECKS.items():
         if only and name not in only:
             continue
-        if name == "backlog_round":
-            df = build_backlog_round(spark, sf_dir)
+        if name in _BUILDERS:
+            df = _BUILDERS[name](spark, sf_dir)
         else:
             df = qs[name](spark, sf_dir)
         # execute the df's own plan once so AQE finalizes it (count()

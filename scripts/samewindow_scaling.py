@@ -129,11 +129,22 @@ def main() -> None:
     print(json.dumps(doc))
     with open(os.path.join(REPO, "SAMEWINDOW.json"), "w") as f:
         json.dump(doc, f, indent=1)
-    # fold into SCALING.json so bench.py embeds it in BENCH_r{N}.json
+    # fold into SCALING.json so bench.py embeds the headline numbers.
+    # "samewindow" holds the LATEST run; every run (one per n_pages,
+    # newest wins) is preserved in "samewindow_points" so a new
+    # measurement at a different size never clobbers recorded evidence.
     spath = os.path.join(REPO, "SCALING.json")
     if os.path.exists(spath):
         with open(spath) as f:
             scaling = json.load(f)
+        points = scaling.get("samewindow_points", [])
+        prior = scaling.get("samewindow")
+        if isinstance(prior, dict) and not any(
+            p.get("n_pages") == prior.get("n_pages") for p in points
+        ):
+            points.append(prior)
+        points = [p for p in points if p.get("n_pages") != n_pages] + [doc]
+        scaling["samewindow_points"] = sorted(points, key=lambda p: p.get("n_pages", 0))
         scaling["samewindow"] = doc
         with open(spath, "w") as f:
             json.dump(scaling, f, indent=1)

@@ -152,3 +152,21 @@ def test_corpus_urls_checkpointed_for_in_memory(spark):
     # in-memory synthesis would re-render per use — must be pinned
     assert "Scan ExistingRDD" in plan
     assert rel.count() == 30
+
+
+def test_recovery_pass_keeps_corpus_lazy(spark, tmp_path):
+    """The recovery wave checkpoints ONLY the failure-sized retry list;
+    the corpus side of its fetch must remain a lazy (pruned, pushdown-
+    capable) file scan — a corpus-sized checkpoint in the retry path
+    would reintroduce the exact de-pinned-in-round-2 scale bug."""
+    from ccr_web_crawler_spark.plans.round import RoundConfig, recovery_pass
+
+    synth_pages(spark, 40, 2).write.parquet(str(tmp_path / "rp_pages"))
+    pages = spark.read.parquet(str(tmp_path / "rp_pages"))
+    retry = spark.createDataFrame(
+        [("https://host0.example/calregs/Index",)], "url_canon string"
+    ).localCheckpoint(eager=True)
+    out = recovery_pass(retry, pages, RoundConfig(), _corpus_urls(pages))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan  # corpus stays a file scan
+    assert out.count() == 1
