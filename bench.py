@@ -36,6 +36,11 @@ def parse_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _cpustat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
 def bench_crawl(spark, sf: float, cpus: int) -> dict:
     from ccr_web_crawler_spark.plans.driver import crawl
     from ccr_web_crawler_spark.plans.round import RoundConfig
@@ -65,21 +70,47 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
         crawl(spark, warm, synth_seeds(spark), SnapshotStore(os.path.join(tmp, "w")),
               cfg, max_rounds=3)
     log("[bench] warmup done")
-    with tempfile.TemporaryDirectory() as tmp:
-        store = SnapshotStore(os.path.join(tmp, "crawl"))
-        t0 = time.time()
-        summary = crawl(
-            spark, pages, synth_seeds(spark), store, cfg, max_rounds=32
-        )
-        wall = time.time() - t0
-        # recovery stage timed separately (reference 3-stage recovery):
-        # the headline stays fetch+extract; retry cost is tracked so a
-        # regression in the failure path can't hide
-        from ccr_web_crawler_spark.plans.driver import recover
+    # The host shows bursty multi-minute noise windows (identical runs
+    # measured 72.9s vs 304.0s — HOST_CHARACTERIZATION.json), so the
+    # timed crawl runs `repeats` times and the MIN-wall run is the
+    # headline — min is the standard estimator under external
+    # contention (same estimator scripts/scaling_bench.py uses). Every
+    # run's wall + host telemetry (busy/steal cores from /proc/stat)
+    # is recorded so a noisy window stays diagnosable in the record.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    tick = os.sysconf("SC_CLK_TCK")
+    runs: list[dict] = []
+    summary = wall = None
+    recovery_passes = recovery_wall = None
+    for i in range(max(1, repeats)):
+        with tempfile.TemporaryDirectory() as tmp:
+            store = SnapshotStore(os.path.join(tmp, "crawl"))
+            st0 = _cpustat()
+            t0 = time.time()
+            s_i = crawl(
+                spark, pages, synth_seeds(spark), store, cfg, max_rounds=32
+            )
+            w_i = time.time() - t0
+            st1 = _cpustat()
+            d = [b - a for a, b in zip(st0, st1)]
+            runs.append({
+                "wall_s": round(w_i, 2),
+                "pages_per_sec": round((s_i.visited + s_i.extracted) / w_i, 2),
+                "busy_cores": round((d[0] + d[1] + d[2]) / tick / w_i, 2),
+                "steal_cores": round((d[7] if len(d) > 7 else 0) / tick / w_i, 2),
+            })
+            log(f"[bench] crawl run {i}: {runs[-1]}")
+            if wall is None or w_i < wall:
+                summary, wall = s_i, w_i
+                # recovery stage timed separately (reference 3-stage
+                # recovery): the headline stays fetch+extract; retry cost
+                # is tracked so a regression in the failure path can't
+                # hide. Timed against the best run's store while it exists.
+                from ccr_web_crawler_spark.plans.driver import recover
 
-        t1 = time.time()
-        recovery_passes = recover(spark, pages, store, cfg)
-        recovery_wall = time.time() - t1
+                t1 = time.time()
+                recovery_passes = recover(spark, pages, store, cfg)
+                recovery_wall = time.time() - t1
     # backlog-mode crawl tracked separately at reduced size: per-round
     # hot/cold routing + refill overhead must stay visible so a
     # regression in the bounded-frontier path can't hide behind the
@@ -111,6 +142,8 @@ def bench_crawl(spark, sf: float, cpus: int) -> dict:
     shutil.rmtree(pages_dir, ignore_errors=True)
     shutil.rmtree(bk_dir, ignore_errors=True)
     return {
+        "crawl_runs": runs,
+        "estimator": f"min wall of {len(runs)} runs",
         "recovery_passes": recovery_passes,
         "recovery_wall_s": round(recovery_wall, 2),
         "backlog_crawl": {
