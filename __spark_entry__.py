@@ -674,6 +674,86 @@ QUALIFY cum_tokens <= 10000
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res) over the documents table, weight = whitespace token count —
+    the DSIR-style importance-resampling primitive. Priorities are one
+    JVM map expression off the portable 60-bit md5 hash; the global
+    top-k runs as TakeOrdered (per-partition heaps, no corpus sort).
+    The float priority column is NOT returned — ln() may differ by an
+    ulp between engines; the compared artifact is the sampled SET."""
+    from ccr_web_crawler_spark.operators.sampling import weighted_sample
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return weighted_sample(
+        d, weight_col="n_tokens", k=100, id_col="doc_id", seed="ws1"
+    ).select("doc_id", "n_tokens")
+
+
+_WEIGHTED_SAMPLE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+    CAST('0x' || substr(md5('ws1:' || doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens
+FROM t
+WHERE n_tok > 0
+ORDER BY ln((h + 1.0) / POWER(2, 60)) / n_tok DESC, doc_id
+LIMIT 100
+"""
+
+
+def q_revisit_schedule(spark, sf_dir):
+    """Freshness/recrawl scheduling: per-host oldest-first revisit
+    slots over a deterministic synthetic fetch log (the synth corpus is
+    single-shot, so the log derives from doc_id residues both engines
+    replay). One filter + one host-partitioned window — the admission
+    window's shape (operators/revisit.py)."""
+    from ccr_web_crawler_spark.operators.revisit import revisit_schedule
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    log = d.select(
+        F.concat(F.lit("h"), (did % 7).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (did % 7).cast("string"),
+            F.lit(".example/d/"), did.cast("string"),
+        ).alias("url_canon"),
+        (did % 17).cast("long").alias("last_round"),
+    )
+    out = revisit_schedule(
+        log, current_round=20, min_age=5, slots_per_host=25
+    )
+    return out.select(
+        "host", "url_canon", F.col("age").cast("long").alias("age"),
+        F.col("slot").cast("long").alias("slot"),
+    )
+
+
+_REVISIT_SQL = """
+WITH s AS (
+  SELECT 'h' || (doc_id % 7)::VARCHAR AS host,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example/d/' || doc_id::VARCHAR
+           AS url_canon,
+         20 - (doc_id % 17) AS age
+  FROM documents
+)
+SELECT host, url_canon, CAST(age AS BIGINT) AS age, CAST(slot AS BIGINT) AS slot
+FROM (
+  SELECT host, url_canon, age,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY age DESC, url_canon) AS slot
+  FROM s WHERE age >= 5
+)
+WHERE slot <= 25
+"""
+
+
 def _docs_with_pii(spark, sf_dir):
     """documents with deterministically planted PII spans (the synth
     corpus is PII-free word salad, so the scrubber gets real work both
@@ -2242,6 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "gopher_repetition": q_gopher_repetition,
         "token_budget_sample": q_token_budget_sample,
+        "weighted_sample": q_weighted_sample,
+        "revisit_schedule": q_revisit_schedule,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
         "pagerank": q_pagerank,
@@ -2301,6 +2383,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _CORPUS_REPORT_SQL,
         "gopher_repetition": _GOPHER_REPETITION_SQL,
         "token_budget_sample": _TOKEN_BUDGET_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "revisit_schedule": _REVISIT_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "pagerank": _PAGERANK_SQL,

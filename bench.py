@@ -220,10 +220,6 @@ def load_scaling() -> dict | None:
     except (OSError, ValueError):
         return None
     out: dict = {"detail": "SCALING.json"}
-    for k in ("n_pages", "mode", "best_lo_pps", "best_hi_pps", "speedup",
-              "scaling_efficiency", "capacity_normalized_efficiency"):
-        if k in s:
-            out[k] = s[k]
     def _sw_brief(sw: dict) -> dict:
         return {
             k: sw[k]
@@ -234,12 +230,26 @@ def load_scaling() -> dict | None:
             if k in sw
         }
 
+    # authoritative numbers FIRST: the interleaved same-window protocol
+    # (scripts/samewindow_scaling.py) is the recorded evidence for the
+    # north-rule N->4N efficiency; the old cross-window single run is
+    # kept only as labeled legacy context (its lo/hi landed in different
+    # host-noise windows — HOST_CHARACTERIZATION.json — and its 0.413
+    # raw number is an artifact of that, not an engine measurement).
     sw = s.get("samewindow")
     if isinstance(sw, dict):
         out["samewindow"] = _sw_brief(sw)
     pts = s.get("samewindow_points")
     if isinstance(pts, list):
         out["samewindow_points"] = [_sw_brief(p) for p in pts if isinstance(p, dict)]
+    legacy = {
+        k: s[k]
+        for k in ("n_pages", "mode", "best_lo_pps", "best_hi_pps", "speedup",
+                  "scaling_efficiency", "capacity_normalized_efficiency")
+        if k in s
+    }
+    if legacy:
+        out["legacy_crosswindow"] = legacy
     curve = s.get("curve")
     if isinstance(curve, list):
         out["curve"] = [

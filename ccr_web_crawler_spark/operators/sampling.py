@@ -87,3 +87,46 @@ def sample_to_token_budget(
                 yield keep[out_cols]
 
     return pruned.mapInPandas(_cut, schema=schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "ws1",
+    key_col: str = "ws_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-Res): every row draws priority ``ln(u)/w`` with
+    ``u ∈ (0,1]`` uniform and the global top-k priorities win —
+    inclusion probability is proportional-to-weight without
+    replacement. The training-data use: sample a corpus slice biased
+    toward high quality-score docs, reproducibly (DSIR-style importance
+    resampling reduces to exactly this with w = importance weight).
+
+    Determinism/portability: ``u`` derives from the 60-bit portable
+    md5 hash of (seed, id) — the same expression DuckDB evaluates
+    bit-identically (functions/textstats.hash64_portable), so the
+    oracle replays the draw; ties (hash collisions) break on ``id_col``
+    for a total order.
+
+    Scale shape: priorities are one map-side JVM expression; the
+    global top-k is ``orderBy(...).limit(k)``, which Spark executes as
+    TakeOrdered — per-partition heaps of size k + a k-row driver merge,
+    never a full sort/shuffle of the corpus. Rows with ``w <= 0`` or
+    null are excluded (zero weight = never sampled)."""
+    from ccr_web_crawler_spark.functions.textstats import hash64_portable
+
+    w = F.col(weight_col).cast("double")
+    h = hash64_portable(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    # h ∈ [0, 2^60): map to (0,1] — +1 keeps u strictly positive so
+    # ln(u) is finite; ln(u) ≤ 0 and /w preserves order within ties
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -88,6 +88,50 @@ def merge_blooms(old: DataFrame | None, delta: DataFrame) -> DataFrame:
     )
 
 
+def updated_bloom(
+    old: DataFrame | None,
+    new_seen: DataFrame,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """``merge_blooms(old, build_bloom(new_seen))`` fused into ONE
+    distributed pass — the per-round bloom maintenance previously paid
+    two chained python-worker shuffles (build's groupBy + merge's
+    groupBy) of pure fixed floor per crawl round; here old bits rows
+    and new url rows union once and fold in a single ``applyInPandas``.
+
+    Null discipline: ``url_hash64`` is never null (old rows carry 0) —
+    a nullable int64 crossing Arrow into pandas becomes float64 and
+    silently rounds 64-bit hashes, corrupting probe positions. The
+    nullable column is ``bits`` (binary → object dtype, lossless), and
+    row kind is decided by ``bits`` nullity alone."""
+    new_rows = new_seen.select(
+        "bucket", "url_hash64", F.lit(None).cast("binary").alias("bits")
+    )
+    rows = new_rows
+    if old is not None:
+        rows = old.select(
+            "bucket", F.lit(0).cast("long").alias("url_hash64"), "bits"
+        ).unionByName(new_rows)
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        have = pdf["bits"].notna()
+        for b in pdf["bits"][have]:
+            bits |= np.frombuffer(b, dtype=np.uint8)
+        h = pdf["url_hash64"][~have].to_numpy(dtype=np.int64)
+        if len(h):
+            pos = _probe_positions(h, m_bits, k)
+            np.bitwise_or.at(
+                bits, pos.ravel() // 8, np.uint8(1) << (pos.ravel() % 8).astype(np.uint8)
+            )
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [bits.tobytes()]}
+        )
+
+    return rows.groupBy("bucket").applyInPandas(_fold, schema="bucket int, bits binary")
+
+
 def bloom_maybe_contains(m_bits: int = 1 << 17, k: int = 5):
     """Pandas UDF ``(url_hash64, bits) -> bool`` (null bits → False:
     an absent bucket has seen nothing)."""

@@ -18,7 +18,8 @@ Per-round driver overhead is kept off the cluster:
   the (depth, seq) ORDER is semantic) — no ``max(seq)`` collect jobs;
 * the Bloom URL-seen pre-filter is maintained incrementally: each round
   hashes only its new urls and ORs them into the stored filter, instead
-  of re-hashing the whole seen set (``operators.seen.merge_blooms``).
+  of re-hashing the whole seen set (``operators.seen.updated_bloom``,
+  a single fused applyInPandas pass per round).
 """
 
 from __future__ import annotations
@@ -31,7 +32,8 @@ from pyspark.sql import functions as F
 
 from ccr_web_crawler_spark.functions.urlnorm import canonicalize_col, url_host_udf
 from ccr_web_crawler_spark.operators.ids import assign_global_seq
-from ccr_web_crawler_spark.operators.seen import build_bloom, merge_blooms
+from ccr_web_crawler_spark.operators.seen import updated_bloom
+from ccr_web_crawler_spark.plans.phaselog import phase
 from ccr_web_crawler_spark.plans.round import (
     FRONTIER_COLS,
     FRONTIER_SCHEMA,
@@ -256,11 +258,12 @@ def _rounds(
                 frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
 
         t0 = time.time()
-        result = run_round(
-            spark, round_no, frontier, seen, discovered, extracted_urls,
-            pages, robots, cfg, max_seq=wm, bloom=bloom, page_urls=page_urls,
-            cold=cold, bound=bound,
-        )
+        with phase(f"driver.run_round[{round_no}]"):
+            result = run_round(
+                spark, round_no, frontier, seen, discovered, extracted_urls,
+                pages, robots, cfg, max_seq=wm, bloom=bloom, page_urls=page_urls,
+                cold=cold, bound=bound,
+            )
         tables: dict[str, tuple[DataFrame, str]] = {
             "frontier": (result.next_frontier, REPLACE),
             # sorted within partitions like the reference's sorted
@@ -274,17 +277,21 @@ def _rounds(
         if result.bound is not None:
             tables["frontier_bound"] = (result.bound, REPLACE)
         if cfg.use_bloom:
-            delta = build_bloom(result.new_seen, cfg.bloom_bits, cfg.bloom_k)
+            new_urls = result.new_seen.select("bucket", "url_hash64")
             if bloom is None and seen is not None:
                 # store has seen rows but no bloom table (use_bloom
                 # toggled on mid-crawl / pre-bloom store): a delta-only
                 # filter would claim the old urls are unseen and bypass
                 # the exact anti-join — rebuild over the FULL seen set
                 # once, then incremental OR-merge resumes next round.
-                delta = merge_blooms(
-                    build_bloom(seen, cfg.bloom_bits, cfg.bloom_k), delta
-                )
-            tables["bloom"] = (merge_blooms(bloom, delta), REPLACE)
+                new_urls = seen.select("bucket", "url_hash64").unionByName(new_urls)
+            # fused build+merge: ONE applyInPandas pass per round
+            # (operators/seen.updated_bloom) instead of build_bloom →
+            # merge_blooms — halves the per-round bloom fixed cost
+            tables["bloom"] = (
+                updated_bloom(bloom, new_urls, cfg.bloom_bits, cfg.bloom_k),
+                REPLACE,
+            )
         derived = None
         if result.extracted is not None:
             tables["extracted"] = (result.extracted, APPEND)
@@ -323,9 +330,10 @@ def _rounds(
                 "wall_s": round(time.time() - _t0, 3),
             }
 
-        version = store.commit(
-            round_no, tables, {"phase": "round"}, metrics_fn=_wm, derived=derived
-        )
+        with phase(f"driver.commit[{round_no}]"):
+            version = store.commit(
+                round_no, tables, {"phase": "round"}, metrics_fn=_wm, derived=derived
+            )
         committed = store.manifest(version)["metrics"]
         wm = committed["watermarks"]
         metrics_rows.append(

@@ -54,6 +54,7 @@ from ccr_web_crawler_spark.operators.politeness import (
     split_top_k_per_host,
 )
 from ccr_web_crawler_spark.operators.seen import anti_join_seen, build_bloom, with_seen_keys
+from ccr_web_crawler_spark.plans.phaselog import phase
 
 FRONTIER_COLS = ["url_canon", "host", "depth", "parent", "seq", "attempt", "round"]
 FRONTIER_SCHEMA = (
@@ -332,7 +333,8 @@ def fetch_join(
         # recover's `retry`).
         limit = cfg.fetch_pushdown_limit
         if limit:
-            probe = candidates.limit(limit + 1).collect()
+            with phase("fetch.pushdown_probe"):
+                probe = candidates.limit(limit + 1).collect()
             if len(probe) <= limit:
                 candidates = pages.sparkSession.createDataFrame(
                     probe, candidates.schema
@@ -402,12 +404,14 @@ def run_round(
     # eager checkpoint: unseen feeds admitted (→ seen/fetch) AND deferred
     # (→ next frontier); under AQE only an eager checkpoint guarantees
     # the dedupe/anti-join work runs once across those actions.
-    unseen = unseen.localCheckpoint(eager=True)
+    with phase("round.unseen_ckpt"):
+        unseen = unseen.localCheckpoint(eager=True)
     refill_bound = None
     if backlog:
-        unseen, refill_bound = _refill_from_cold(
-            unseen, cold, bound, seen, bloom, robots, cfg
-        )
+        with phase("round.refill"):
+            unseen, refill_bound = _refill_from_cold(
+                unseen, cold, bound, seen, bloom, robots, cfg
+            )
     admitted, deferred = admit_per_host(unseen, cfg.round_seconds)
 
     # 2. mark visited-at-pop (reference marks BEFORE fetch outcome,
@@ -433,8 +437,9 @@ def run_round(
         )
         # eager: the fetch join + link-extraction UDF is the round's
         # heaviest stage and feeds both nav and doc branches
-        .localCheckpoint(eager=True)
     )
+    with phase("round.fetch_links_ckpt"):
+        links = links.localCheckpoint(eager=True)
 
     # 5/6. classify + sequence nav and doc links in ONE global-seq pass
     #    (kind is the leading order key, so within-kind ordering equals
@@ -465,13 +470,14 @@ def run_round(
             seen_docs, ["kind", "url_canon"], "left_anti"
         )
     base = max(max_seq.get("frontier", 0), max_seq.get("discovered", 0))
-    sequenced = assign_global_seq(
-        link_candidates,
-        ["kind", "depth", "parent_seq", "link_pos"],
-        "seq",
-        offset=base,
-        num_partitions=cfg.seq_partitions,
-    )
+    with phase("round.assign_seq"):
+        sequenced = assign_global_seq(
+            link_candidates,
+            ["kind", "depth", "parent_seq", "link_pos"],
+            "seq",
+            offset=base,
+            num_partitions=cfg.seq_partitions,
+        )
 
     nav_new = sequenced.filter(F.col("kind") == 0).select(
         "url_canon",

@@ -32,6 +32,8 @@ from pathlib import Path
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
+from ccr_web_crawler_spark.plans.phaselog import phase
+
 # Tables that grow by appending deltas vs. tables replaced wholesale
 # each round (the frontier is the mutable working set).
 APPEND = "append"
@@ -111,7 +113,8 @@ class SnapshotStore:
         def _write(name: str, df: DataFrame, mode: str) -> None:
             rel_dir = f"data/{name}/v{version:06d}-{uuid.uuid4().hex[:8]}"
             out_dir = self.root / rel_dir
-            df.write.mode("overwrite").parquet(str(out_dir))
+            with phase(f"commit.write[{name}]"):
+                df.write.mode("overwrite").parquet(str(out_dir))
             files, lineage = [], {}
             for p in sorted(out_dir.glob("*.parquet")):
                 rel = f"{rel_dir}/{p.name}"

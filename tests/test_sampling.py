@@ -58,3 +58,99 @@ def test_zero_budget_empty(spark, docs):
     assert (
         sample_to_token_budget(docs, "n_tokens", ["ok", "doc_id"], 0).count() == 0
     )
+
+
+# ---------------------------------------------------------- weighted_sample
+
+
+def _ws_oracle(rows, k, seed="ws1"):
+    """Local replay of the exact A-Res draw weighted_sample makes —
+    pins the portable-hash + key formula independent of Spark."""
+    import hashlib
+    import math
+
+    keyed = []
+    for doc_id, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float(1 << 60)
+        keyed.append((math.log(u) / w, -doc_id))
+    keyed.sort(reverse=True)
+    return sorted(-d for _, d in keyed[:k])
+
+
+def test_weighted_sample_matches_local_replay(spark):
+    from ccr_web_crawler_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i * 13) % 40 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df, "w", 50, "doc_id").select("doc_id").collect()
+    )
+    assert got == _ws_oracle(rows, 50)
+
+
+def test_weighted_sample_huge_weight_always_in(spark):
+    rows = [(i, 1) for i in range(200)] + [(999, 10**9)]
+    from ccr_web_crawler_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 10, "doc_id").collect()}
+    assert 999 in got and len(got) == 10
+
+
+def test_weighted_sample_nonpositive_excluded_k_overflow(spark):
+    from ccr_web_crawler_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -2), (4, None), (5, 3)], "doc_id long, w int"
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(df, "w", 100, "doc_id").collect())
+    assert got == [1, 5]  # zero/negative/null weights never sampled
+
+
+def test_weighted_sample_deterministic(spark):
+    from ccr_web_crawler_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").repartition(11)
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", 40, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(3), "w", 40, "doc_id").collect()
+    )
+    assert a == b
+
+
+# --------------------------------------------------------- revisit_schedule
+
+
+def test_revisit_schedule_slots_and_cutoff(spark):
+    from ccr_web_crawler_spark.operators.revisit import revisit_schedule
+
+    rows = [(f"u{i}", f"h{i % 3}", i % 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "url_canon string, host string, last_round long")
+    out = revisit_schedule(df, current_round=12, min_age=5, slots_per_host=4).collect()
+    # cutoff: age = 12 - last_round >= 5 → last_round <= 7
+    assert all(r["age"] >= 5 for r in out)
+    # per-host slot cap and 1-based contiguous slots
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        slots = sorted(r["slot"] for r in rs)
+        assert slots == list(range(1, len(rs) + 1)) and len(rs) <= 4
+        # oldest-first: slot order == (age desc, url asc)
+        ordered = sorted(rs, key=lambda r: (-r["age"], r["url_canon"]))
+        assert [r["slot"] for r in ordered] == slots
+
+
+def test_revisit_schedule_nothing_due(spark):
+    from ccr_web_crawler_spark.operators.revisit import revisit_schedule
+
+    df = spark.createDataFrame(
+        [("u1", "h1", 10)], "url_canon string, host string, last_round long"
+    )
+    assert revisit_schedule(df, current_round=12, min_age=5, slots_per_host=4).count() == 0

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 from ccr_web_crawler_spark.operators.seen import (
     anti_join_seen,
     build_bloom,
+    merge_blooms,
+    updated_bloom,
     with_seen_keys,
 )
 
@@ -51,6 +53,39 @@ def test_bloom_no_false_negatives(spark):
     cands = _mk(spark, [f"https://host{i % 7}.example/p/{i}?q={i}" for i in range(1000)])
     out = anti_join_seen(cands, seen, bloom, n_buckets=N_BUCKETS, m_bits=M_BITS, k=K)
     assert out.count() == 0
+
+
+def test_updated_bloom_equals_build_then_merge(spark):
+    """The fused per-round maintenance pass (updated_bloom) must be
+    bit-identical to the two-pass build_bloom → merge_blooms it
+    replaced — including hashes in the top half of the int64 range
+    (the Arrow null→float64 rounding hazard updated_bloom's null
+    discipline exists to avoid)."""
+    old_seen = with_seen_keys(
+        _mk(spark, [f"https://h{i % 5}.example/old/{i}" for i in range(300)]),
+        n_buckets=N_BUCKETS,
+    )
+    new_seen = with_seen_keys(
+        _mk(spark, [f"https://h{i % 5}.example/new/{i}" for i in range(120)]),
+        n_buckets=N_BUCKETS,
+    )
+    old = build_bloom(old_seen, M_BITS, K)
+    want = {
+        r.bucket: bytes(r.bits)
+        for r in merge_blooms(old, build_bloom(new_seen, M_BITS, K)).collect()
+    }
+    got = {
+        r.bucket: bytes(r.bits)
+        for r in updated_bloom(old, new_seen.select("bucket", "url_hash64"), M_BITS, K).collect()
+    }
+    assert got == want
+    # no-old path = plain build
+    base = {r.bucket: bytes(r.bits) for r in build_bloom(new_seen, M_BITS, K).collect()}
+    got0 = {
+        r.bucket: bytes(r.bits)
+        for r in updated_bloom(None, new_seen.select("bucket", "url_hash64"), M_BITS, K).collect()
+    }
+    assert got0 == base
 
 
 def test_empty_seen_passes_everything(spark):
