@@ -709,6 +709,70 @@ LIMIT 100
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Stratified corpus sampling: 20 docs per language, chosen by
+    portable-hash order — the mixing primitive for language/domain/
+    quality-bin recipes. Skew-proof two-phase top-k (salted windows;
+    a hot stratum never funnels through one task —
+    operators/sampling.stratified_sample); the oracle replays the same
+    md5-derived ranking in one window."""
+    from ccr_web_crawler_spark.operators.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = stratified_sample(
+        d, strata_col="lang", k=20, id_col="doc_id", seed="strat1", n_salts=8
+    )
+    return out.select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        "sample_rank",
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = """
+WITH t AS (
+  SELECT lang, doc_id, n_chars,
+    CAST('0x' || substr(md5('strat1:' || doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT)
+    AS sample_rank
+FROM t
+QUALIFY sample_rank <= 20
+"""
+
+
+def q_wet_ingest(spark, sf_dir):
+    """WARC/WET round-trip: render documents as WARC/1.0 conversion
+    records (sources/warc.write_wet), re-ingest with the splittable
+    delimiter-text reader (read_wet — pure JVM regexp/substr parse, no
+    UDF), and compare fields + byte-exact payloads against the source
+    table. This is the Common-Crawl entry path a web-text pipeline
+    starts from (the reference's equivalent scan is the gzip JSONL
+    ingest, ``indexer/ingest.py:45-50``)."""
+    from ccr_web_crawler_spark.sources.warc import read_wet, write_wet
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://synth.example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="wet_ingest_")
+    path = os.path.join(tmp, "docs.warc.wet")
+    write_wet(d, path)
+    w = read_wet(spark, path)
+    return w.select("url", "rec_type", "content_length", "payload")
+
+
+_WET_INGEST_SQL = """
+SELECT 'https://synth.example/doc/' || doc_id::VARCHAR AS url,
+  'conversion' AS rec_type,
+  CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
+  coalesce(text, '') AS payload
+FROM documents
+"""
+
+
 def q_revisit_schedule(spark, sf_dir):
     """Freshness/recrawl scheduling: per-host oldest-first revisit
     slots over a deterministic synthetic fetch log (the synth corpus is
@@ -2323,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "token_budget_sample": q_token_budget_sample,
         "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
         "revisit_schedule": q_revisit_schedule,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
@@ -2360,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JSON ingest
         "json_props": q_json_props,
         "jsonl_gz_ingest": q_jsonl_gz_ingest,
+        "wet_ingest": q_wet_ingest,
         "build_index": q_build_index,
         # streaming admission (batch form of the stateful operator)
         "admit_stream": q_admit_stream,
@@ -2384,6 +2450,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _GOPHER_REPETITION_SQL,
         "token_budget_sample": _TOKEN_BUDGET_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "revisit_schedule": _REVISIT_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
@@ -2414,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "index_meta": _INDEX_META_SQL,
         "json_props": _JSON_PROPS_SQL,
         "jsonl_gz_ingest": _JSONL_GZ_SQL,
+        "wet_ingest": _WET_INGEST_SQL,
         "build_index": _BUILD_INDEX_SQL,
         "admit_stream": _ADMIT_STREAM_SQL,
         "crawl_round0": _crawl_round0_oracle_sql(),

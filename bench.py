@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "corpus_clean",
     "gopher_repetition",
     "token_budget_sample",
+    "stratified_sample",
+    "wet_ingest",
     "pii_scrub",
     "line_dedup",
     "pagerank",

@@ -89,6 +89,57 @@ def sample_to_token_budget(
     return pruned.mapInPandas(_cut, schema=schema)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "strat1",
+    n_salts: int = 16,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ``k`` rows per stratum
+    (language, domain, quality bin — the corpus-mixing primitive every
+    LLM data recipe needs), chosen uniformly-by-hash and reproducibly.
+    Rows rank within their stratum by the portable 60-bit md5 hash of
+    (seed, id) — tie-broken on ``id_col`` for a total order — and rank
+    ≤ k survive; ``rank_col`` carries the rank (long).
+
+    Scale shape — skew-proof two-phase top-k: the naive
+    ``row_number() over (partition by stratum)`` funnels a hot stratum
+    through ONE task (at 100 TB a majority-language stratum is most of
+    the corpus). Phase 1 ranks within (stratum, salt) where
+    salt = hash % n_salts — every window partition holds ~1/n_salts of
+    its stratum — and keeps ≤ k candidates per salt; phase 2 re-ranks
+    the ≤ k·n_salts survivors per stratum. Exact, not approximate: the
+    per-stratum top-k by hash order is contained in the union of the
+    per-salt top-ks (each salt group's members rank no better globally
+    than within their salt). Both windows are bounded: phase 1 by the
+    salt fan-out, phase 2 by k·n_salts rows per stratum."""
+    from ccr_web_crawler_spark.functions.textstats import hash64_portable
+
+    from pyspark.sql.window import Window
+
+    h = hash64_portable(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    tagged = df.withColumn("__h", h).withColumn(
+        "__salt", (F.col("__h") % n_salts).cast("int")
+    )
+    w1 = Window.partitionBy(strata_col, "__salt").orderBy("__h", id_col)
+    cand = (
+        tagged.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    return (
+        cand.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .filter(F.col(rank_col) <= k)
+        .drop("__h", "__salt")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -161,6 +161,42 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
          lambda p: "MapInPandas" in p and "Window" not in p),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
+    "weighted_sample": [
+        # A-Res priorities are map-side; the global top-k must run as
+        # TakeOrdered (per-partition heaps + k-row driver merge), never
+        # a full Sort+Exchange of the corpus
+        ("global top-k runs as TakeOrdered, not a corpus sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("priority math stays JVM-side — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "stratified_sample": [
+        # skew-proof two-phase: phase 1 windows over (stratum, salt) so
+        # a hot stratum splits across n_salts tasks; phase 2 re-ranks
+        # the bounded survivors per stratum
+        ("salted phase-1 window present (__salt in a window spec)",
+         lambda p: "__salt" in p and p.count("Window") >= 2),
+        ("rank filters applied below the final projection",
+         lambda p: "row_number" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("hashing stays JVM-side — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "revisit_schedule": [
+        ("one host-partitioned window, no global sort",
+         lambda p: "Window" in p and "TakeOrderedAndProject" not in p),
+        ("no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "wet_ingest": [
+        # record parse = regexp/substr fused into the delimiter-text
+        # scan: map-only, JVM-side end-to-end
+        ("parse stays JVM-side — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ("map-only parse — no shuffle between scan and project",
+         lambda p: "Exchange" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
     "pii_scrub": [
         ("regexp algebra stays JVM-side — no python UDF",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),

@@ -154,3 +154,55 @@ def test_revisit_schedule_nothing_due(spark):
         [("u1", "h1", 10)], "url_canon string, host string, last_round long"
     )
     assert revisit_schedule(df, current_round=12, min_age=5, slots_per_host=4).count() == 0
+
+
+# --- stratified_sample -------------------------------------------------
+
+from ccr_web_crawler_spark.operators.sampling import stratified_sample  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def strat_docs(spark):
+    # 3 strata with heavy skew: 'en' holds 400 of 460 rows (the hot
+    # stratum the salted two-phase exists for)
+    rows = [(i, "en" if i < 400 else ("de" if i < 440 else "fr")) for i in range(460)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def _strat_oracle(docs, k, seed="strat1"):
+    from ccr_web_crawler_spark.functions.textstats import hash64_portable
+
+    h = hash64_portable(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+@pytest.mark.parametrize("k,n_salts", [(1, 4), (20, 8), (20, 1), (1000, 16)])
+def test_stratified_matches_single_window_oracle(spark, strat_docs, k, n_salts):
+    got = sorted(
+        stratified_sample(
+            strat_docs, strata_col="lang", k=k, id_col="doc_id", n_salts=n_salts
+        )
+        .select("lang", "doc_id", "sample_rank")
+        .collect()
+    )
+    want = sorted(
+        _strat_oracle(strat_docs, k).select("lang", "doc_id", "sample_rank").collect()
+    )
+    assert got == want
+    # every stratum fills min(k, stratum size)
+    sizes = {r["lang"]: r["n"] for r in
+             strat_docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per = {}
+    for r in got:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert per == {lang: min(k, n) for lang, n in sizes.items()}
+
+
+def test_stratified_deterministic_across_layouts(spark, strat_docs):
+    a = stratified_sample(strat_docs.repartition(13), "lang", 10, "doc_id")
+    b = stratified_sample(strat_docs.coalesce(1), "lang", 10, "doc_id")
+    assert sorted(a.collect()) == sorted(b.collect())

@@ -1,0 +1,88 @@
+"""WARC/WET ingest (sources/warc.py): round-trip byte fidelity, header
+field extraction, preamble handling, and hand-written real-format
+bytes (reader must not depend on our own writer's quirks)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ccr_web_crawler_spark.sources.warc import read_wet, write_wet
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        ("https://a.example/1", "plain text body"),
+        ("https://a.example/2", "multi\nline\n\nwith interior blank line"),
+        ("https://b.example/3", ""),  # empty payload
+        ("https://b.example/4", None),  # null text -> empty payload
+        ("https://b.example/5", "unicode: §über — émojis ok"),
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_roundtrip_byte_exact(spark, corpus, tmp_path):
+    path = os.path.join(tmp_path, "rt.warc.wet")
+    write_wet(corpus, path)
+    got = {r["url"]: r for r in read_wet(spark, path).collect()}
+    want = {r["url"]: (r["text"] or "") for r in corpus.collect()}
+    assert set(got) == set(want)
+    for url, text in want.items():
+        assert got[url]["payload"] == text, url
+        assert got[url]["content_length"] == len(text.encode("utf-8"))
+        assert got[url]["rec_type"] == "conversion"
+        assert got[url]["warc_ts"] is not None
+
+
+def test_reads_handwritten_wet_bytes(spark, tmp_path):
+    # real-format bytes, including a warcinfo preamble record (no
+    # Target-URI) that must be dropped, written WITHOUT our writer
+    raw = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "WARC-Date: 2026-02-01T00:00:00Z\r\n"
+        "Content-Length: 9\r\n"
+        "\r\n"
+        "file info\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://x.example/p\r\n"
+        "WARC-Date: 2026-02-01T12:34:56Z\r\n"
+        "Content-Length: 11\r\n"
+        "\r\n"
+        "hello\n\nwet\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://x.example/q\r\n"
+        "WARC-Date: 2026-02-01T12:34:57Z\r\n"
+        "Content-Length: 3\r\n"
+        "\r\n"
+        "end\r\n"
+        "\r\n"
+    )
+    p = tmp_path / "hand.warc.wet"
+    p.write_bytes(raw.encode("utf-8"))
+    rows = {r["url"]: r for r in read_wet(spark, str(p)).collect()}
+    assert set(rows) == {"https://x.example/p", "https://x.example/q"}
+    assert rows["https://x.example/p"]["payload"] == "hello\n\nwet"
+    assert rows["https://x.example/p"]["content_length"] == 11
+    assert rows["https://x.example/q"]["payload"] == "end"
+    assert str(rows["https://x.example/q"]["warc_ts"]).startswith("2026-02-01 12:34:57")
+
+
+def test_multifile_parallel_read(spark, tmp_path):
+    # writer range-partitions into several files; the reader must see
+    # every record exactly once across files
+    rows = [(f"https://h{i % 3}.example/d/{i}", f"doc {i} body") for i in range(200)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    path = os.path.join(tmp_path, "many.warc.wet")
+    write_wet(df, path, partitions=6)
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(files) > 1
+    got = read_wet(spark, path)
+    assert got.count() == 200
+    assert got.select("url").distinct().count() == 200
