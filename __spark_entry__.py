@@ -35,7 +35,7 @@ from ccr_web_crawler_spark.functions.urlnorm import (
     canonicalize_full_udf,
     url_host_udf,
 )
-from ccr_web_crawler_spark.operators import dedup
+from ccr_web_crawler_spark.operators import curation, dedup
 from ccr_web_crawler_spark.operators.ids import assign_global_seq
 from ccr_web_crawler_spark.operators.index import embed_text_expr
 from ccr_web_crawler_spark.operators.politeness import admit_per_host, assign_fetch_slots
@@ -948,6 +948,165 @@ SELECT doc_id, COUNT(*) AS n_lines,
 FROM lf LEFT JOIN boiler b ON lf.line_fp = b.line_fp
 GROUP BY doc_id
 """
+
+
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-style URL filtering (operators/curation.py
+    url_blocklist_filter): registered-domain blocklist (label-suffix
+    equi-join, no LIKE theta-join) + weighted flagged-substring score
+    over the canonical URL. Survivors = not blocked AND score below
+    threshold."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", canonicalize_full_udf(_url_expr()).alias("url")
+    )
+    blocklist = spark.createDataFrame([("host3.example",)], "domain string")
+    return curation.url_blocklist_filter(
+        d, blocklist, url_col="url",
+        bad_words={"path": 0.3, "7": 0.2}, threshold=0.9,
+    )
+
+
+_URL_FILTER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_URL_FULL_SQL} AS url FROM documents
+), h AS (
+  SELECT doc_id, url,
+    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+    round(
+      (length(lower(url)) - length(replace(lower(url), 'path', ''))) / 4 * 0.3
+      + (length(lower(url)) - length(replace(lower(url), '7', ''))) / 1 * 0.2,
+      6) AS url_score
+  FROM d
+)
+SELECT doc_id, url, url_score FROM h
+WHERE NOT (host = 'host3.example' OR host LIKE '%.host3.example')
+  AND url_score < 0.9
+"""
+
+
+def _docs_with_offset_dups(spark, sf_dir):
+    """_docs_with_dups ∪ offset-planted near-copies: every 11th doc
+    re-appears under doc_id+200000 with a 15-char prefix prepended —
+    the shared text sits at a DIFFERENT character offset in each copy,
+    which is exactly the case stride-sampled substring hashing misses
+    and content-defined chunking is built for."""
+    d = _docs_with_dups(spark, sf_dir)
+    base = _read(spark, sf_dir, "documents")
+    shifted = base.filter((F.col("doc_id") % 11) == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zzz offset pad "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return d.unionByName(shifted)
+
+
+_DOCS_OFFSET_DUP_SQL = (
+    _DOCS_DUP_SQL
+    + " UNION ALL SELECT doc_id + 200000 AS doc_id, "
+    "'zzz offset pad ' || text AS text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 11 = 0"
+)
+
+
+def q_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans via content-defined chunking
+    (operators/curation.py substring_dup_spans, Lee et al.
+    arXiv:2107.06499 semantics): verbatim ≥40-char chunks shared across
+    documents — including the offset-planted copies, whose matches land
+    at shifted positions (pos_b = pos_a + 15) because CDC cut points
+    travel with the content, not the alignment."""
+    return curation.substring_dup_spans(
+        _docs_with_offset_dups(spark, sf_dir),
+        k=8, mod_p=16, min_len=40,
+    )
+
+
+_SUBSTRING_SPANS_SQL = r"""
+WITH docs AS ({docs}), t AS (
+  SELECT doc_id, lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS tt
+  FROM docs
+), g AS (
+  SELECT doc_id, tt,
+    CASE WHEN length(tt) - 7 < 1 THEN []::BIGINT[]
+    ELSE list_transform(range(1, length(tt) - 7 + 1),
+      i -> CAST('0x' || substr(md5(substr(tt, CAST(i AS INT), 8)), 1, 15) AS BIGINT))
+    END AS hs
+  FROM t
+), b AS (
+  SELECT doc_id, tt,
+    list_sort(list_distinct(
+      [1] || list_filter(range(1, len(hs) + 1), i -> hs[CAST(i AS INT)] % 16 = 0)
+          || [length(tt) + 1]
+    )) AS bounds
+  FROM g
+), ch AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(bounds)),
+    j -> {{'pos': bounds[CAST(j AS INT)],
+          'txt': substr(tt, CAST(bounds[CAST(j AS INT)] AS INT),
+                        CAST(bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS INT))}})) AS c
+  FROM b
+), rows_ AS (
+  SELECT doc_id AS id, c.pos AS pos, length(c.txt) AS chunk_len, md5(c.txt) AS chunk_fp
+  FROM ch WHERE length(c.txt) >= 40
+)
+SELECT l.id AS id_a, l.pos AS pos_a, r.id AS id_b, r.pos AS pos_b,
+       l.chunk_len AS chunk_len, l.chunk_fp AS chunk_fp
+FROM rows_ l JOIN rows_ r ON l.chunk_fp = r.chunk_fp
+WHERE l.id < r.id OR (l.id = r.id AND l.pos < r.pos)
+""".format(docs=_DOCS_OFFSET_DUP_SQL)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py decontaminate,
+    GPT-3 arXiv:2005.14165 appendix C): flag training docs sharing any
+    word 8-gram with the held-out 'benchmark' slice (doc_id %29 == 0).
+    The planted exact clones of benchmark docs come out 100%
+    contaminated; the benchmark rows themselves are excluded from the
+    training side."""
+    base = _read(spark, sf_dir, "documents")
+    bench = base.filter((F.col("doc_id") % 29) == 0)
+    train = _docs_with_dups(spark, sf_dir).filter((F.col("doc_id") % 29) != 0)
+    return curation.decontaminate(train, bench, n=8)
+
+
+_DECONTAMINATE_SQL = r"""
+WITH docs AS (
+  SELECT * FROM ({docs}) WHERE doc_id % 29 <> 0
+), bench AS (SELECT * FROM documents WHERE doc_id % 29 = 0),
+tok AS (
+  SELECT doc_id,
+    str_split(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))), ' ') AS toks
+  FROM docs
+), btok AS (
+  SELECT str_split(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))), ' ') AS toks
+  FROM bench
+), dg AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) - 7 < 1 THEN []::BIGINT[]
+    ELSE list_transform(range(1, len(toks) - 7 + 1),
+      i -> CAST('0x' || substr(md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')), 1, 15) AS BIGINT))
+    END AS grams
+  FROM tok
+), bg AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(toks) - 7 < 1 THEN []::BIGINT[]
+    ELSE list_transform(range(1, len(toks) - 7 + 1),
+      i -> CAST('0x' || substr(md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')), 1, 15) AS BIGINT))
+    END) AS gram_h
+  FROM btok
+), hits AS (
+  SELECT u.doc_id, count(*) AS n_contaminated
+  FROM (SELECT doc_id, unnest(grams) AS gram_h FROM dg) u JOIN bg USING (gram_h)
+  GROUP BY u.doc_id
+)
+SELECT dg.doc_id, len(dg.grams) AS n_grams,
+  coalesce(hits.n_contaminated, 0) AS n_contaminated,
+  round(CASE WHEN len(dg.grams) > 0
+        THEN coalesce(hits.n_contaminated, 0) / len(dg.grams)
+        ELSE 0 END, 6) AS contaminated_frac,
+  coalesce(hits.n_contaminated, 0) > 0 AS contaminated
+FROM dg LEFT JOIN hits USING (doc_id)
+""".format(docs=_DOCS_DUP_SQL)
 
 
 def _link_edges(spark, sf_dir):
@@ -2391,6 +2550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_schedule": q_revisit_schedule,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
+        "url_filter": q_url_filter,
+        "substring_spans": q_substring_spans,
+        "decontaminate": q_decontaminate,
         "pagerank": q_pagerank,
         "dup_components": q_dup_components,
         "asof_match": q_asof_match,
@@ -2454,6 +2616,9 @@ def oracle_sql() -> dict[str, str]:
         "revisit_schedule": _REVISIT_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "url_filter": _URL_FILTER_SQL,
+        "substring_spans": _SUBSTRING_SPANS_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "pagerank": _PAGERANK_SQL,
         "dup_components": _DUP_COMPONENTS_SQL,
         "asof_match": _ASOF_MATCH_SQL,

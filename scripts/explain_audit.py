@@ -297,6 +297,37 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
          "co-partitioned",
          lambda p: "SortMergeJoin" not in p),
     ],
+    "url_filter": [
+        ("blocklist suffix match is an equi-join (never LIKE nested-loop)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("blocked urls removed by anti-join on the url key alone",
+         lambda p: "LeftAnti" in p),
+        ("word score is pure JVM — no python UDF in the scoring path",
+         lambda p: "BatchEvalPython" not in p),
+    ],
+    "substring_spans": [
+        ("chunk-pair candidates come from a hash equi-join on chunk_fp, "
+         "never all-pairs",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("chunk TEXT never crosses the shuffle — only (id, pos, len, fp) "
+         "columns appear in the exchange",
+         lambda p: all("txt" not in ln for ln in p.splitlines()
+                       if "Exchange" in ln)),
+        ("CDC hashing is JVM higher-order functions — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "decontaminate": [
+        ("benchmark gram set joins as an equi-join on the gram hash "
+         "(AQE may broadcast; no cartesian / nested loop)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("per-doc hit counts use partial (map-side) aggregation",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("gram hashing is JVM higher-order functions — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
 }
 
 
