@@ -1109,6 +1109,243 @@ FROM dg LEFT JOIN hits USING (doc_id)
 """.format(docs=_DOCS_DUP_SQL)
 
 
+# --------------------------------------------- training-example prep
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Per-document sliding-window token chunking (operators/packing.py
+    chunk_documents): win=16-token chunks at stride 12 over the
+    normalized whitespace tokens — the retrieval/eval context-unit
+    splitter (reference `indexer/ingest.py:60-78` builds one embedding
+    row per section; this generalizes it to overlapping token windows).
+    Pure JVM transform/sequence/slice — zero shuffles."""
+    from ccr_web_crawler_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(
+        _read(spark, sf_dir, "documents"), win=16, stride=12
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        "n_tokens",
+        "chunk",
+    )
+
+
+_DOC_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))) AS tt
+  FROM documents
+), tok AS (
+  SELECT doc_id, str_split(tt, ' ') AS toks, len(str_split(tt, ' ')) AS n
+  FROM t WHERE length(tt) > 0
+), st AS (
+  SELECT doc_id, toks, n,
+    unnest(range(1,
+      1 + CAST(ceil(greatest(n - 16, 0) / 12.0) AS BIGINT) * 12 + 1,
+      12)) AS start
+  FROM tok
+)
+SELECT doc_id,
+  CAST((start - 1) / 12 AS BIGINT) AS chunk_idx,
+  CAST(start AS BIGINT) AS start_tok,
+  CAST(least(16, n - start + 1) AS BIGINT) AS n_tokens,
+  array_to_string(list_slice(toks, CAST(start AS INT), CAST(start + 15 AS INT)), ' ') AS chunk
+FROM st
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style cross-document sequence packing (operators/packing.py
+    pack_sequences, arXiv:2005.14165 §2.1 "concat and chunk"): the
+    whole corpus concatenated in doc_id order and cut into exact
+    128-token training sequences; docs span boundaries, nothing padded
+    or dropped. Distributed prefix sum (range shuffle + per-partition
+    window) — never a single-partition global window."""
+    from ccr_web_crawler_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), seq_len=128, num_partitions=8
+    )
+
+
+_PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))) AS tt
+  FROM documents
+), tok AS (
+  SELECT doc_id, str_split(tt, ' ') AS toks, len(str_split(tt, ' ')) AS n
+  FROM t WHERE length(tt) > 0
+), o AS (
+  SELECT doc_id, toks, n,
+    CAST(coalesce(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM tok
+), seg AS (
+  SELECT doc_id, toks, n, off,
+    unnest(range(off // 128, (off + n - 1) // 128 + 1)) AS seq_id
+  FROM o
+), p AS (
+  SELECT seq_id, greatest(seq_id * 128, off) AS s,
+         least((seq_id + 1) * 128, off + n) AS e, doc_id, toks, off
+  FROM seg
+), pc AS (
+  SELECT seq_id, s, doc_id, e - s AS len,
+    array_to_string(list_slice(toks, CAST(s - off + 1 AS INT), CAST(e - off AS INT)), ' ') AS txt
+  FROM p
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len) AS BIGINT) AS n_tokens,
+  string_agg(doc_id::VARCHAR, ',' ORDER BY s) AS doc_ids,
+  string_agg(txt, ' ' ORDER BY s) AS text
+FROM pc GROUP BY seq_id
+"""
+
+
+def _anchor_edges(spark, sf_dir):
+    """Planted link graph WITH anchor text: same (7·id+3, 13·id+5)
+    targets as _link_edges but UNION ALL (a duplicate edge is two real
+    links) and an anchor string derived from (src, dst) so popular
+    targets accumulate repeated anchors."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n1 = d.agg(F.count("*").alias("n"))
+    base = d.crossJoin(n1).filter((F.col("doc_id") % 11) != 0)
+    did = F.col("doc_id")
+
+    def mk(dst):
+        return base.select(
+            did.alias("src"),
+            dst.alias("dst"),
+            F.concat(F.lit("kw"), ((did + dst) % 5).cast("string")).alias("anchor"),
+        )
+
+    return mk((did * 7 + 3) % F.col("n")).unionByName(
+        mk((did * 13 + 5) % F.col("n"))
+    )
+
+
+_ANCHOR_EDGES_SQL = """
+SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst,
+  'kw' || ((doc_id + (doc_id * 7 + 3) % n) % 5)::VARCHAR AS anchor
+FROM documents, (SELECT COUNT(*) AS n FROM documents) WHERE doc_id % 11 <> 0
+UNION ALL
+SELECT doc_id, (doc_id * 13 + 5) % n,
+  'kw' || ((doc_id + (doc_id * 13 + 5) % n) % 5)::VARCHAR
+FROM documents, (SELECT COUNT(*) AS n FROM documents) WHERE doc_id % 11 <> 0
+"""
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Inbound anchor-text aggregation (operators/webmeta.py
+    anchor_topk): top-3 anchor strings per link target by inbound-link
+    count, (count DESC, anchor ASC) total order. groupBy partial-agg +
+    skew-proof salted two-phase per-dst top-k; the oracle's plain
+    window proves the salted plan exact."""
+    from ccr_web_crawler_spark.operators.webmeta import anchor_topk
+
+    return anchor_topk(_anchor_edges(spark, sf_dir), k=3, n_salts=4)
+
+
+_ANCHOR_TOPK_SQL = f"""
+WITH e AS ({_ANCHOR_EDGES_SQL}),
+c AS (
+  SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n_links FROM e GROUP BY 1, 2
+), r AS (
+  SELECT dst, anchor, n_links,
+    row_number() OVER (PARTITION BY dst ORDER BY n_links DESC, anchor) AS rk
+  FROM c
+)
+SELECT dst, anchor, n_links, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 3
+"""
+
+
+def _trap_urls(spark, sf_dir):
+    """Document-derived URL set ∪ three planted trap shapes on their
+    own hosts: a session-parameter explosion (one path, one query per
+    doc), a 16-deep path, and an /a/b/a/b self-similar loop."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = d.select(canonicalize_full_udf(_url_expr()).alias("url"))
+    params = d.filter(did % 3 == 0).select(
+        F.concat(
+            F.lit("https://params.example/search?session="), did.cast("string")
+        ).alias("url")
+    )
+    deep = d.filter(did % 50 == 0).select(
+        F.concat(
+            F.lit("https://deep.example/" + "d/" * 15), did.cast("string")
+        ).alias("url")
+    )
+    loop = d.filter(did % 70 == 0).select(
+        F.concat(
+            F.lit("https://loop.example/a/b/a/b/a/b/"), did.cast("string")
+        ).alias("url")
+    )
+    return base.unionByName(params).unionByName(deep).unionByName(loop)
+
+
+_TRAP_URLS_SQL = f"""
+SELECT {_URL_FULL_SQL} AS url FROM documents
+UNION ALL
+SELECT 'https://params.example/search?session=' || doc_id::VARCHAR
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'https://deep.example/' || repeat('d/', 15) || doc_id::VARCHAR
+FROM documents WHERE doc_id % 50 = 0
+UNION ALL
+SELECT 'https://loop.example/a/b/a/b/a/b/' || doc_id::VARCHAR
+FROM documents WHERE doc_id % 70 = 0
+"""
+
+
+def q_trap_report(spark, sf_dir):
+    """Crawl-trap detection (operators/traps.py crawl_trap_report):
+    per-host URL-shape statistics — URLs-per-path (parameter
+    explosion), max path depth, max repeated-segment excess — with
+    threshold trap flags. The three planted trap hosts flag; the seven
+    document hosts don't. One map-side parse + one partial-agg shuffle
+    on host."""
+    from ccr_web_crawler_spark.operators.traps import crawl_trap_report
+
+    return crawl_trap_report(
+        _trap_urls(spark, sf_dir),
+        max_urls_per_path=20.0, max_path_depth=12, max_segment_repeat=3,
+    )
+
+
+_TRAP_REPORT_SQL = (
+    "WITH urls AS (" + _TRAP_URLS_SQL + r"""
+), p AS (
+  SELECT
+    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM urls
+), m AS (
+  SELECT host, path, query,
+    len(list_filter(str_split(path, '/'), x -> x <> '')) AS depth,
+    len(list_filter(str_split(path, '/'), x -> x <> ''))
+      - len(list_distinct(list_filter(str_split(path, '/'), x -> x <> ''))) AS seg_repeat
+  FROM p
+), a AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+    CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+    CAST(COUNT(DISTINCT CASE WHEN query <> '' THEN query END) AS BIGINT) AS n_queries,
+    round(COUNT(*) / greatest(COUNT(DISTINCT path), 1), 6) AS urls_per_path,
+    CAST(MAX(depth) AS BIGINT) AS max_depth,
+    CAST(MAX(seg_repeat) AS BIGINT) AS max_seg_repeat
+  FROM m GROUP BY host
+)
+SELECT host, n_urls, n_paths, n_queries, urls_per_path, max_depth,
+  max_seg_repeat,
+  (urls_per_path >= 20.0 OR max_depth >= 12 OR max_seg_repeat >= 3) AS is_trap
+FROM a
+"""
+)
+
+
 def _link_edges(spark, sf_dir):
     """Deterministically planted link graph over the doc-id space (no
     natural web graph exists in the driver tables): every doc except
@@ -2553,6 +2790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "substring_spans": q_substring_spans,
         "decontaminate": q_decontaminate,
+        # training-example prep + frontier hygiene
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "anchor_topk": q_anchor_topk,
+        "trap_report": q_trap_report,
         "pagerank": q_pagerank,
         "dup_components": q_dup_components,
         "asof_match": q_asof_match,
@@ -2619,6 +2861,10 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _URL_FILTER_SQL,
         "substring_spans": _SUBSTRING_SPANS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
+        "anchor_topk": _ANCHOR_TOPK_SQL,
+        "trap_report": _TRAP_REPORT_SQL,
         "pagerank": _PAGERANK_SQL,
         "dup_components": _DUP_COMPONENTS_SQL,
         "asof_match": _ASOF_MATCH_SQL,

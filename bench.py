@@ -181,6 +181,10 @@ BENCH_QUERIES = [
     "wet_ingest",
     "pii_scrub",
     "line_dedup",
+    "doc_chunks",
+    "pack_sequences",
+    "anchor_topk",
+    "trap_report",
     "pagerank",
     "asof_match",
     "robots_parse",

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # group 1 = the <loc> payload; RE2/Java-portable (no lookarounds)
 _LOC_RE = r"<loc>\s*([^<]*?)\s*</loc>"
@@ -113,4 +114,53 @@ def parse_robots(
         F.col(host_col),
         disallows.alias("disallow_prefixes"),
         delay.alias("crawl_delay"),
+    )
+
+
+def anchor_topk(
+    edges: DataFrame,
+    k: int = 3,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inbound anchor-text aggregation: for every link target, the top-k
+    anchor strings by inbound-link count — the classic web-corpus signal
+    (link text describes the TARGET page better than the page itself;
+    used for page titling, retrieval keys, and ranking). The reference
+    extracts (href, link-text) pairs per page
+    (`crawler/discovery.py:92-120` keeps only the href); this keeps the
+    text and aggregates it corpus-wide.
+
+    Output: (dst, anchor, n_links, rank), rank 1..k per dst by
+    (n_links DESC, anchor ASC) — a deterministic total order.
+
+    Scale shape: the heavy reduction is ``groupBy(dst, anchor)`` —
+    partial-aggregated map-side, ONE shuffle of (dst, anchor, n) rows
+    (never raw edges with payloads). The per-dst top-k then runs
+    skew-proof in two phases, same argument as
+    operators/sampling.stratified_sample: phase 1 ranks within
+    (dst, salt = anchor-hash % n_salts) so a hot target (a popular
+    page has millions of DISTINCT anchors) never funnels through one
+    window task, phase 2 re-ranks the ≤ k·n_salts survivors per dst.
+    Exact: a global top-k member ranks ≥ as well within its own salt
+    group, so phase 1 cannot drop it."""
+    from ccr_web_crawler_spark.functions.textstats import hash64_portable
+
+    counts = edges.groupBy(dst_col, anchor_col).agg(
+        F.count("*").cast("long").alias("n_links")
+    )
+    salted = counts.withColumn(
+        "__salt", (hash64_portable(F.col(anchor_col)) % n_salts).cast("int")
+    )
+    order = [F.col("n_links").desc(), F.col(anchor_col).asc()]
+    w1 = Window.partitionBy(dst_col, "__salt").orderBy(*order)
+    cand = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(dst_col).orderBy(*order)
+    return cand.withColumn("rank", F.row_number().over(w2).cast("long")).filter(
+        F.col("rank") <= k
     )

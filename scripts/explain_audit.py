@@ -328,6 +328,58 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("gram hashing is JVM higher-order functions — no python UDF",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "doc_chunks": [
+        ("chunking is map-only: no Exchange anywhere in the plan",
+         lambda p: "Exchange" not in p),
+        ("pure JVM higher-order functions — no python UDF",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ("corpus scan column-pruned to id+text",
+         lambda p: "ReadSchema" in p and "source" not in p.split("ReadSchema")[1][:200]),
+    ],
+    "pack_sequences": [
+        # the scale-critical property: the global token prefix sum is
+        # the two-phase form — a range exchange + per-partition window,
+        # NEVER a single-partition global window (Exchange SinglePartition)
+        ("no single-partition global window",
+         lambda p: "Exchange SinglePartition" not in p),
+        # the range exchange itself sits above an eager localCheckpoint
+        # (layout pinned before the per-partition sums are collected),
+        # so the final plan starts at the checkpoint scan; what must
+        # show here is the PARTITION-LOCAL window keyed on __pid
+        ("prefix-sum window is per-partition (__pid), not global",
+         lambda p: "__pid" in p and "Window" in p),
+        ("sequence reassembly is a hash aggregate, not a sort of the corpus",
+         lambda p: "HashAggregate" in p or "ObjectHashAggregate" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "anchor_topk": [
+        ("anchor counting has a partial (map-side) aggregation pass",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("two window phases: salted local top-k then per-dst re-rank",
+         lambda p: p.count("Window") >= 2),
+        # the input builder derives edges off a 1-row corpus-count
+        # scalar crossJoin (same pattern as the pagerank graph; it
+        # appears once per union branch). Those are allowed — but they
+        # must all be the broadcast-a-tiny-side Cross BuildRight form,
+        # and the top-k path itself must stay free of real cartesians
+        ("no cartesian product; nested loops only as scalar Cross BuildRight",
+         lambda p: "CartesianProduct" not in p
+         and all(
+             "Cross BuildRight" in ln
+             or re.match(r"\(\d+\) BroadcastNestedLoopJoin", ln)
+             for ln in p.splitlines() if "BroadcastNestedLoopJoin" in ln
+         )),
+    ],
+    "trap_report": [
+        ("URL parse + per-host stats partial-aggregate before ONE exchange",
+         lambda p: p.count("HashAggregate") >= 2),
+        # the wrapper canonicalizes input URLs with the Arrow-batched
+        # canonicalize UDF; the operator's own parse path is pure JVM —
+        # what must never appear is a row-at-a-time python UDF
+        ("no row-at-a-time python UDF in the parse path",
+         lambda p: "BatchEvalPython" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
