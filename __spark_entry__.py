@@ -2148,6 +2148,22 @@ def q_simhash_planted(spark, sf_dir):
     )
 
 
+def q_simhash_planted_blocks8(spark, sf_dir):
+    """Second point on the simhash banding surface (the simhash analog
+    of minhash_exact_mid): the same planted-set invariant checked under
+    a DIFFERENT block configuration — 8 blocks of 8 bits, max_hamming=7
+    (pigeonhole recall still guaranteed). Exercises the block split /
+    bucket-join path at a block width the 4x16 check never touches; a
+    shift/mask or bucket-key regression that happens to cancel at
+    16-bit blocks surfaces here as a rows mismatch."""
+    pairs = dedup.simhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), max_hamming=7, n_blocks=8
+    )
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 100000).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 _SIMHASH_PLANTED_SQL = """
 SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0::BIGINT AS hamming
 FROM documents WHERE doc_id % 5 = 0
@@ -2807,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_exact_mid": q_minhash_exact_mid,
         "simhash_pairs": q_simhash_pairs,
         "simhash_planted": q_simhash_planted,
+        "simhash_planted_blocks8": q_simhash_planted_blocks8,
         "embedding_neardup": q_embedding_neardup,
         # similarity search
         "cosine_topk": q_cosine_topk,
@@ -2875,6 +2892,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_exact_check": _MINHASH_EXACT_SQL,
         "minhash_exact_mid": _minhash_exact_sql(0.5),
         "simhash_planted": _SIMHASH_PLANTED_SQL,
+        "simhash_planted_blocks8": _SIMHASH_PLANTED_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "knn_join": _KNN_JOIN_SQL,
