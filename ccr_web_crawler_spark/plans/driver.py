@@ -24,7 +24,9 @@ Per-round driver overhead is kept off the cluster:
 
 from __future__ import annotations
 
+import dataclasses
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +40,7 @@ from ccr_web_crawler_spark.plans.round import (
     FRONTIER_COLS,
     FRONTIER_SCHEMA,
     RoundConfig,
+    extract_pass,
     failures_projection,
     live_cold_rows,
     recovery_pass,
@@ -163,6 +166,15 @@ def crawl(
 
     page_urls = _corpus_urls(pages)
 
+    if cfg.extract:
+        # self-healing resume: a crash between a round's frontier commit
+        # and its async extraction commit leaves discovered rounds with
+        # no extracted files — finish them before looping (also gives
+        # the reference's two-phase mode: crawl with extract=False, then
+        # re-open with extract=True and this pass extracts everything,
+        # cf. crawler/extraction.py:215-267 running off discovered).
+        _extract_catchup(spark, store, cfg, pages, page_urls)
+
     metrics_rows = []
     try:
         _rounds(
@@ -213,6 +225,57 @@ def _corpus_urls(pages: DataFrame) -> DataFrame:
     return proj if file_backed else proj.localCheckpoint(eager=True)
 
 
+def _extract_catchup(
+    spark: SparkSession,
+    store: SnapshotStore,
+    cfg: RoundConfig,
+    pages: DataFrame,
+    page_urls: DataFrame,
+) -> int:
+    """Extract every discovered round that has no extracted files yet
+    (manifest lineage carries per-file round tags — no Spark jobs to
+    find the gap). One atomic commit per missing round, tagged with the
+    ORIGINAL round number, so a resumed run converges to the same store
+    a never-interrupted run produces. Returns rounds caught up."""
+    m = store.manifest()
+    if m is None:
+        return 0
+    d_line = (m["tables"].get("discovered") or {}).get("lineage", {})
+    e_line = (m["tables"].get("extracted") or {}).get("lineage", {})
+    d_rounds = {v.get("round") for v in d_line.values()}
+    e_rounds = {v.get("round") for v in e_line.values()}
+    missing = sorted(r for r in d_rounds - e_rounds if r is not None)
+    if not missing:
+        return 0
+    wm = (m.get("metrics") or {}).get("watermarks") or {}
+    ext = store.read(spark, "extracted")
+    for r in missing:
+        files = [
+            str(store.root / f) for f, v in d_line.items() if v.get("round") == r
+        ]
+        wl = spark.read.parquet(*files).select("url_canon")
+        if ext is not None:
+            # defensive for externally-assembled stores; disjoint by
+            # construction on engine-written ones (extracted ⊆ discovered
+            # of earlier rounds, recovery re-extracts only failed urls)
+            wl = wl.join(
+                ext.select(F.col("url").alias("url_canon")), "url_canon", "left_anti"
+            )
+        store.commit(
+            r,
+            {"extracted": (extract_pass(wl, pages, cfg, page_urls), APPEND)},
+            {"phase": "extract-catchup", "watermarks": wm},
+            derived={
+                "failures": (
+                    "extracted",
+                    lambda df, rr=r: failures_projection(df, rr),
+                    APPEND,
+                )
+            },
+        )
+    return len(missing)
+
+
 def _rounds(
     spark: SparkSession,
     pages: DataFrame,
@@ -235,129 +298,206 @@ def _rounds(
             "crawl) but RoundConfig.backlog_hot_rows/round_seconds are not "
             "set — resume with backlog mode enabled, or compact the store"
         )
-    rounds_done = 0
-    while max_rounds is None or rounds_done < max_rounds:
-        # cold's physical count includes logically-consumed rows, so a
-        # nonzero count only means "worth running a round to find out" —
-        # the post-round check below breaks when a round proves sterile
-        if store.count("frontier") == 0 and store.count("frontier_cold") == 0:
-            break
-        frontier = store.read(spark, "frontier")
-        seen = store.read(spark, "seen")
-        bloom = store.read(spark, "bloom") if cfg.use_bloom else None
-        discovered = store.read(spark, "discovered")
-        extracted_urls = None
-        ext = store.read(spark, "extracted")
-        if ext is not None:
-            extracted_urls = ext.select(F.col("url").alias("url_canon"))
-        cold = bound = None
-        if backlog:
-            cold = store.read(spark, "frontier_cold")
-            bound = store.read(spark, "frontier_bound")
-            if frontier is None:
-                frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
+    async_extract = cfg.extract and cfg.async_extract
+    run_cfg = dataclasses.replace(cfg, extract=False) if async_extract else cfg
+    # one worker: extraction commits are serialized among themselves and
+    # against the next frontier commit (SnapshotStore commits must not
+    # interleave); the PARALLELISM is between this thread's Spark jobs
+    # and the main thread's next-round stages, which share executor
+    # slots via separate FAIR scheduler pools (session.py)
+    pool = ThreadPoolExecutor(max_workers=1) if async_extract else None
+    pending: tuple | None = None  # (future, metrics_row, t0)
 
-        t0 = time.time()
-        with phase(f"driver.run_round[{round_no}]"):
-            result = run_round(
-                spark, round_no, frontier, seen, discovered, extracted_urls,
-                pages, robots, cfg, max_seq=wm, bloom=bloom, page_urls=page_urls,
-                cold=cold, bound=bound,
+    def _await_pending() -> None:
+        nonlocal pending
+        if pending is None:
+            return
+        fut, row, t0 = pending
+        pending = None
+        b_version = fut.result()
+        row[4] = store.rows_in_round("failures", row[0], b_version)
+        # durable wall: frontier commit + extraction commit (the latter
+        # overlaps the NEXT round's compute, so per-round walls may sum
+        # past the crawl wall — they measure durability latency)
+        row[5] = int((time.time() - t0) * 1000)
+
+    def _submit_extract(version: int, row: list, t0: float, wm_now: dict) -> None:
+        nonlocal pending
+        rnd = row[0]
+        delta = store.manifest(version)["tables"]["discovered"]["lineage"]
+        files = [
+            str(store.root / f)
+            for f, v in delta.items()
+            if v.get("round") == rnd
+        ]
+
+        def _b() -> int:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "extract"
             )
-        tables: dict[str, tuple[DataFrame, str]] = {
-            "frontier": (result.next_frontier, REPLACE),
-            # sorted within partitions like the reference's sorted
-            # visited_urls.txt (crawler/discovery.py:147) — also gives
-            # parquet min/max url stats for later point-lookup pruning
-            "seen": (result.new_seen.sortWithinPartitions("url_canon"), APPEND),
-            "discovered": (result.new_discovered, APPEND),
-        }
-        if result.demoted is not None:
-            tables["frontier_cold"] = (result.demoted, APPEND)
-        if result.bound is not None:
-            tables["frontier_bound"] = (result.bound, REPLACE)
-        if cfg.use_bloom:
-            new_urls = result.new_seen.select("bucket", "url_hash64")
-            if bloom is None and seen is not None:
-                # store has seen rows but no bloom table (use_bloom
-                # toggled on mid-crawl / pre-bloom store): a delta-only
-                # filter would claim the old urls are unseen and bypass
-                # the exact anti-join — rebuild over the FULL seen set
-                # once, then incremental OR-merge resumes next round.
-                new_urls = seen.select("bucket", "url_hash64").unionByName(new_urls)
-            # fused build+merge: ONE applyInPandas pass per round
-            # (operators/seen.updated_bloom) instead of build_bloom →
-            # merge_blooms — halves the per-round bloom fixed cost
-            tables["bloom"] = (
-                updated_bloom(bloom, new_urls, cfg.bloom_bits, cfg.bloom_k),
-                REPLACE,
-            )
-        derived = None
-        if result.extracted is not None:
-            tables["extracted"] = (result.extracted, APPEND)
-            # failures derive from the extracted files written by this
-            # same commit — a column-pruned scan, not a recompute
-            derived = {
-                "failures": (
-                    "extracted",
-                    lambda df, r=round_no: failures_projection(df, r),
-                    APPEND,
+            with phase(f"driver.extract_commit[{rnd}]"):
+                # worklist = the discovered delta just committed: a
+                # pinned column-pruned read of round-sized files — no
+                # recompute of the in-memory plan, trivially
+                # deterministic for the fetch pushdown probe
+                wl = spark.read.parquet(*files).select("url_canon")
+                return store.commit(
+                    rnd,
+                    {"extracted": (extract_pass(wl, pages, cfg, page_urls), APPEND)},
+                    {"phase": "extract", "watermarks": wm_now},
+                    derived={
+                        "failures": (
+                            "extracted",
+                            lambda df, rr=rnd: failures_projection(df, rr),
+                            APPEND,
+                        )
+                    },
                 )
+
+        pending = (pool.submit(_b), row, t0)
+
+    rounds_done = 0
+    try:
+        while max_rounds is None or rounds_done < max_rounds:
+            # cold's physical count includes logically-consumed rows, so a
+            # nonzero count only means "worth running a round to find out" —
+            # the post-round check below breaks when a round proves sterile
+            if store.count("frontier") == 0 and store.count("frontier_cold") == 0:
+                break
+            frontier = store.read(spark, "frontier")
+            seen = store.read(spark, "seen")
+            bloom = store.read(spark, "bloom") if cfg.use_bloom else None
+            discovered = store.read(spark, "discovered")
+            extracted_urls = None
+            if not async_extract:
+                ext = store.read(spark, "extracted")
+                if ext is not None:
+                    extracted_urls = ext.select(F.col("url").alias("url_canon"))
+            cold = bound = None
+            if backlog:
+                cold = store.read(spark, "frontier_cold")
+                bound = store.read(spark, "frontier_bound")
+                if frontier is None:
+                    frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
+
+            # NOTE: the previous round's extraction commit may still be in
+            # flight here — by design. It only appends extracted/failures,
+            # which this round's inputs (frontier/seen/bloom/discovered)
+            # never read, so the manifest view above is consistent either
+            # way, and the dedupe/admit/link stages below get the executor
+            # slots the old serial loop left idle during extraction.
+            t0 = time.time()
+            with phase(f"driver.run_round[{round_no}]"):
+                result = run_round(
+                    spark, round_no, frontier, seen, discovered, extracted_urls,
+                    pages, robots, run_cfg, max_seq=wm, bloom=bloom,
+                    page_urls=page_urls, cold=cold, bound=bound,
+                )
+            _await_pending()
+            tables: dict[str, tuple[DataFrame, str]] = {
+                "frontier": (result.next_frontier, REPLACE),
+                # sorted within partitions like the reference's sorted
+                # visited_urls.txt (crawler/discovery.py:147) — also gives
+                # parquet min/max url stats for later point-lookup pruning
+                "seen": (result.new_seen.sortWithinPartitions("url_canon"), APPEND),
+                "discovered": (result.new_discovered, APPEND),
             }
+            if result.demoted is not None:
+                tables["frontier_cold"] = (result.demoted, APPEND)
+            if result.bound is not None:
+                tables["frontier_bound"] = (result.bound, REPLACE)
+            if cfg.use_bloom:
+                new_urls = result.new_seen.select("bucket", "url_hash64")
+                if bloom is None and seen is not None:
+                    # store has seen rows but no bloom table (use_bloom
+                    # toggled on mid-crawl / pre-bloom store): a delta-only
+                    # filter would claim the old urls are unseen and bypass
+                    # the exact anti-join — rebuild over the FULL seen set
+                    # once, then incremental OR-merge resumes next round.
+                    new_urls = seen.select("bucket", "url_hash64").unionByName(new_urls)
+                # fused build+merge: ONE applyInPandas pass per round
+                # (operators/seen.updated_bloom) instead of build_bloom →
+                # merge_blooms — halves the per-round bloom fixed cost
+                tables["bloom"] = (
+                    updated_bloom(bloom, new_urls, cfg.bloom_bits, cfg.bloom_k),
+                    REPLACE,
+                )
+            derived = None
+            if not async_extract and result.extracted is not None:
+                tables["extracted"] = (result.extracted, APPEND)
+                # failures derive from the extracted files written by this
+                # same commit — a column-pruned scan, not a recompute
+                derived = {
+                    "failures": (
+                        "extracted",
+                        lambda df, r=round_no: failures_projection(df, r),
+                        APPEND,
+                    )
+                }
 
-        base_wm = wm
+            base_wm = wm
 
-        def _wm(deltas, _base=base_wm, _t0=t0):
-            # runs after the data writes, before the manifest lands, so
-            # wall covers the real round incl. the writes. nav + doc
-            # links share one sequence space per round (fused assignment
-            # in run_round, offset = max of both marks), so advance both
-            # watermarks past everything sequenced; the frontier delta
-            # over-counts deferred rows — gaps are fine (only the
-            # (depth, seq) ORDER is semantic). frontier_cold MUST count:
-            # in backlog mode the hot delta alone is capped at hosts x H,
-            # which can be SMALLER than the links sequenced this round —
-            # the next base would collide with seqs already minted on
-            # cold rows and corrupt the global (depth, seq) order.
-            nxt = (
-                max(_base["frontier"], _base["discovered"])
-                + deltas.get("frontier", 0)
-                + deltas.get("frontier_cold", 0)
-                + deltas.get("discovered", 0)
-            )
-            return {
-                "watermarks": {"frontier": nxt, "discovered": nxt},
-                "wall_s": round(time.time() - _t0, 3),
-            }
+            def _wm(deltas, _base=base_wm, _t0=t0):
+                # runs after the data writes, before the manifest lands, so
+                # wall covers the real round incl. the writes. nav + doc
+                # links share one sequence space per round (fused assignment
+                # in run_round, offset = max of both marks), so advance both
+                # watermarks past everything sequenced; the frontier delta
+                # over-counts deferred rows — gaps are fine (only the
+                # (depth, seq) ORDER is semantic). frontier_cold MUST count:
+                # in backlog mode the hot delta alone is capped at hosts x H,
+                # which can be SMALLER than the links sequenced this round —
+                # the next base would collide with seqs already minted on
+                # cold rows and corrupt the global (depth, seq) order.
+                nxt = (
+                    max(_base["frontier"], _base["discovered"])
+                    + deltas.get("frontier", 0)
+                    + deltas.get("frontier_cold", 0)
+                    + deltas.get("discovered", 0)
+                )
+                return {
+                    "watermarks": {"frontier": nxt, "discovered": nxt},
+                    "wall_s": round(time.time() - _t0, 3),
+                }
 
-        with phase(f"driver.commit[{round_no}]"):
-            version = store.commit(
-                round_no, tables, {"phase": "round"}, metrics_fn=_wm, derived=derived
-            )
-        committed = store.manifest(version)["metrics"]
-        wm = committed["watermarks"]
-        metrics_rows.append(
-            (
+            with phase(f"driver.commit[{round_no}]"):
+                version = store.commit(
+                    round_no, tables, {"phase": "round"}, metrics_fn=_wm, derived=derived
+                )
+            committed = store.manifest(version)["metrics"]
+            wm = committed["watermarks"]
+            row = [
                 round_no,
                 store.rows_in_round("seen", round_no, version),
                 store.rows_in_round("frontier", round_no, version),
                 store.rows_in_round("discovered", round_no, version),
                 store.rows_in_round("failures", round_no, version),
                 int(committed["wall_s"] * 1000),
-            )
-        )
-        round_no += 1
-        rounds_done += 1
-        if (
-            backlog
-            and store.count("frontier") == 0
-            and store.rows_in_round("seen", round_no - 1, version) == 0
-        ):
-            # sterile round: hot drained AND the refill (which definitely
-            # ran — hot was empty) promoted nothing admissible, so every
-            # physical cold row is consumed or dead. Without this check
-            # the nonzero physical cold count would loop forever.
-            break
+            ]
+            metrics_rows.append(row)
+            if async_extract and store.rows_in_round("discovered", round_no, version) > 0:
+                _submit_extract(version, row, t0, wm)
+            round_no += 1
+            rounds_done += 1
+            if (
+                backlog
+                and store.count("frontier") == 0
+                and store.rows_in_round("seen", round_no - 1, version) == 0
+            ):
+                # sterile round: hot drained AND the refill (which definitely
+                # ran — hot was empty) promoted nothing admissible, so every
+                # physical cold row is consumed or dead. Without this check
+                # the nonzero physical cold count would loop forever.
+                break
+    finally:
+        # every exit path (drain, max_rounds, sterile break, error)
+        # must land the in-flight extraction commit — otherwise the
+        # summary undercounts and the executor pool leaks threads.
+        try:
+            _await_pending()
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
 
 
 def recover(

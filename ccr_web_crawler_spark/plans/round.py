@@ -99,6 +99,17 @@ class RoundConfig:
     # JVM thread stack). Rounds bigger than the limit stream the scan,
     # which they amortize anyway. None disables.
     fetch_pushdown_limit: int | None = 1024
+    # run the extraction stage as an ASYNC side-commit: the driver
+    # commits the frontier-loop tables first (fast), then writes
+    # extracted+failures in a background commit that overlaps the NEXT
+    # round's dedupe/admit/link stages (a separate FAIR-scheduler pool,
+    # so both get task slots). Extraction is embarrassingly parallel
+    # per-document work with no effect on crawl ordering — serializing
+    # the frontier loop behind it idles the cluster for the whole
+    # fetch+extract+write of every round. Crash between the two commits
+    # is self-healing: crawl() runs a lineage-driven catch-up pass
+    # (discovered rounds with no extracted files) before looping.
+    async_extract: bool = True
     # hot/cold frontier split. None = monolithic frontier (every round
     # re-shuffles and rewrites the full backlog — fine at test scale).
     # An int H bounds the per-round working set: the `frontier` table
@@ -274,6 +285,19 @@ def retry_candidates(
     return out
 
 
+def extract_pass(
+    worklist: DataFrame,
+    pages: DataFrame,
+    cfg: RoundConfig,
+    page_urls: DataFrame | None = None,
+) -> DataFrame:
+    """Fetch-join a url worklist and run the section extractor — the
+    one extraction pipeline shared by the in-round stage, the driver's
+    async extraction commit, the resume catch-up, and recovery."""
+    doc_pages = fetch_join(worklist.select("url_canon"), pages, cfg, page_urls)
+    return extract_sections(doc_pages, "url_canon", "html")
+
+
 def recovery_pass(
     retry_urls: DataFrame,
     pages: DataFrame,
@@ -286,8 +310,7 @@ def recovery_pass(
     Returns the full extracted records (success AND repeated failures —
     a repeated failure appends another attempt row via the derived
     failures sink, which is what advances the attempt counter)."""
-    doc_pages = fetch_join(retry_urls.select("url_canon"), pages, cfg, page_urls)
-    return extract_sections(doc_pages, "url_canon", "html")
+    return extract_pass(retry_urls, pages, cfg, page_urls)
 
 
 def fetch_join(

@@ -57,6 +57,14 @@ def get_spark(
         # 215 pages/s. Same rule on a real cluster: size
         # executor-cores/task slots to leave one core per python worker.
         .config("spark.task.cpus", str(task_cpus))
+        # the crawl driver overlaps each round's extraction commit with
+        # the next round's dedupe/admit/link stages (plans/driver.py).
+        # Under FIFO the earlier extraction job's task backlog starves
+        # the next round's small stages; FAIR with the extraction thread
+        # in its own pool ("extract", set via thread-local property)
+        # gives both an equal share of slots — work-conserving: a lone
+        # job still gets every slot.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
