@@ -312,15 +312,19 @@ def main() -> None:
         json.dump(out, f, indent=1)
     line = json.loads(json.dumps(out))  # deep copy
     line["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    line["crawl"] = {
-        k: v for k, v in crawl_stats.items() if k != "crawl_runs"
-    }
+    ckeep = ("n_pages", "rounds", "visited", "extracted", "failures",
+             "wall_s", "pages_per_sec", "recovery_passes",
+             "recovery_wall_s")
+    line["crawl"] = {k: v for k, v in crawl_stats.items() if k in ckeep}
+    bk = crawl_stats.get("backlog_crawl") or {}
+    line["crawl"]["backlog_pps"] = bk.get("pages_per_sec")
     line["crawl"]["n_runs"] = len(crawl_stats["crawl_runs"])
     if "scaling" in line:
         sc = line["scaling"]
         sc.pop("legacy_crosswindow", None)
-        keep = ("n_pages", "raw_efficiency_same_window",
-                "host_capacity_factor_same_window",
+        sc.pop("curve", None)
+        keep = ("n_pages", "mode", "raw_efficiency_same_window",
+                "scaling_efficiency",
                 "normalized_efficiency_same_window")
         if isinstance(sc.get("samewindow"), dict):
             sc["samewindow"] = {

@@ -145,6 +145,40 @@ def crawl(
     """Run (or resume) the crawl until the frontier drains or
     ``max_rounds`` more rounds complete."""
     cfg = cfg or RoundConfig()
+    with _loop_aqe(spark, cfg):
+        return _crawl(spark, pages, seeds, store, cfg, robots, max_rounds)
+
+
+class _loop_aqe:
+    """Disable AQE for the crawl loop (RoundConfig.aqe_in_loop) and
+    restore the caller's setting on exit — the loop's frontier-sized
+    shuffles pay AQE's query-stage barriers without using its
+    coalescing/skew re-planning (rationale at the config field)."""
+
+    def __init__(self, spark: SparkSession, cfg: RoundConfig):
+        self.spark, self.off = spark, not cfg.aqe_in_loop
+
+    def __enter__(self):
+        if self.off:
+            self.prev = self.spark.conf.get("spark.sql.adaptive.enabled")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        if self.off:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+        return False
+
+
+def _crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    store: SnapshotStore,
+    cfg: RoundConfig,
+    robots: DataFrame | None = None,
+    max_rounds: int | None = None,
+) -> CrawlSummary:
     _check_metrics_schema(store)
     manifest = store.manifest()
     if manifest is None:
@@ -520,6 +554,17 @@ def recover(
     network-flake analog in the table-fetch sandbox) are recovered here;
     deterministic failures self-terminate at the attempt cap."""
     cfg = cfg or RoundConfig()
+    with _loop_aqe(spark, cfg):
+        return _recover(spark, pages, store, cfg, max_passes)
+
+
+def _recover(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: SnapshotStore,
+    cfg: RoundConfig,
+    max_passes: int | None,
+) -> int:
     page_urls = _corpus_urls(pages)
     passes = 0
     # attempt counts grow by 1 per repeated failure, so max_attempts

@@ -65,8 +65,14 @@ def get_spark(
         # gives both an equal share of slots — work-conserving: a lone
         # job still gets every slot.
         .config("spark.scheduler.mode", "FAIR")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            os.environ.get("SPARK_GRAFT_AQE_COALESCE", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # rows through the extract UDFs carry ~100KB html/text blobs; the

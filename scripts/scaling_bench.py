@@ -228,7 +228,8 @@ def main() -> None:
         with open(path) as f:
             prev = json.load(f)
         for k in ("host_capacity_control", "capacity_normalized_note",
-                  "history_20k", "estimator_note", "analysis"):
+                  "history_20k", "estimator_note", "analysis",
+                  "samewindow", "samewindow_points", "curve"):
             if k in prev and k not in result:
                 result[k] = prev[k]
         ctl = result.get("host_capacity_control") or {}
