@@ -2417,6 +2417,66 @@ def q_crawl_extracted(spark, sf_dir):
     return out
 
 
+_BUCKETED_PAGES_CACHE: dict = {}
+
+
+def _bucketed_pages(spark):
+    """The shared 120-page site persisted ONCE per session as a
+    url-bucketed table (sources/tableio.write_bucketed_pages)."""
+    key = id(spark.sparkContext)
+    got = _BUCKETED_PAGES_CACHE.get(key)
+    if got is None:
+        from ccr_web_crawler_spark.sources.tableio import write_bucketed_pages
+
+        got = write_bucketed_pages(
+            _crawl_pages(spark),
+            "q_pages_bucketed",
+            4,
+            path=os.path.join(tempfile.mkdtemp(prefix="bkt_pages_"), "t"),
+        )
+        _BUCKETED_PAGES_CACHE[key] = got
+    return got
+
+
+def q_fetch_bucketed(spark, sf_dir):
+    """Co-located fetch over a url-BUCKETED corpus — the production
+    join layout for rounds too large to broadcast at 10^10 pages: the
+    corpus rides its bucketing (no Exchange/Sort above the scan —
+    plan-pinned in tests/test_bucketed_fetch.py), only the round-sized
+    candidate side shuffles. Left-outer semantics: a missing url
+    surfaces as fetched=false (the failure-record path)."""
+    from ccr_web_crawler_spark.plans.round import RoundConfig, fetch_join
+
+    pages = _bucketed_pages(spark)
+    cand = (
+        pages.select(F.col("url").alias("url_canon"))
+        .filter(F.col("url_canon").contains("/calregs/Document/"))
+        .unionByName(
+            spark.createDataFrame(
+                [("https://host0.example/calregs/Document/MISSING",)],
+                "url_canon string",
+            )
+        )
+    )
+    out = fetch_join(cand, pages, RoundConfig(fetch_strategy="shuffle"))
+    return out.select(
+        "url_canon", F.col("html").isNotNull().alias("fetched")
+    )
+
+
+def _fetch_bucketed_oracle_sql() -> str:
+    site = _py_site()
+    rows = ", ".join(
+        f"({_sql_str(u)}, TRUE)" for u in site if _py_is_doc(u)
+    )
+    rows += ", ('https://host0.example/calregs/Document/MISSING', FALSE)"
+    return (
+        "SELECT url_canon, fetched FROM (VALUES "
+        + rows
+        + ") AS t(url_canon, fetched)"
+    )
+
+
 # --- planted-graph crawl oracles: the synthetic site is a pure function
 #     of (n_pages, n_hosts, seed), so a single-threaded python BFS — the
 #     same oracle tests/test_crawl_equivalence.py pins the engine against
@@ -2777,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extracted": q_crawl_extracted,
         "crawl_backlog": q_crawl_backlog,
         "crawl_backlog_drain": q_crawl_backlog_drain,
+        "fetch_bucketed": q_fetch_bucketed,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # relational core
@@ -2917,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_extracted": _crawl_extracted_oracle_sql(),
         "crawl_backlog": _crawl_backlog_oracle_sql(),
         "crawl_backlog_drain": _crawl_backlog_drain_oracle_sql(),
+        "fetch_bucketed": _fetch_bucketed_oracle_sql(),
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     }

@@ -229,7 +229,7 @@ def load_scaling() -> dict | None:
     def _sw_brief(sw: dict) -> dict:
         return {
             k: sw[k]
-            for k in ("n_pages", "raw_efficiency_same_window",
+            for k in ("n_pages", "levels", "raw_efficiency_same_window",
                       "host_capacity_factor_same_window",
                       "normalized_efficiency_same_window",
                       "per_cycle_normalized")
@@ -323,7 +323,7 @@ def main() -> None:
         sc = line["scaling"]
         sc.pop("legacy_crosswindow", None)
         sc.pop("curve", None)
-        keep = ("n_pages", "mode", "raw_efficiency_same_window",
+        keep = ("n_pages", "levels", "mode", "raw_efficiency_same_window",
                 "scaling_efficiency",
                 "normalized_efficiency_same_window")
         if isinstance(sc.get("samewindow"), dict):

@@ -4,12 +4,19 @@ driver-resident state is the round counter; sequence watermarks, row
 counts and per-partition lineage live in the snapshot manifest, and all
 data lives in snapshot-committed tables.
 
-Each round is one batch job committed atomically via
-``SnapshotStore.commit`` (replacing the reference's torn-write
-three-file checkpoint, ``crawler/discovery.py:123-155``). A killed run
-resumes from the last committed snapshot (``load_checkpoint`` analog,
-``crawler/discovery.py:158-188``) and is bit-identical to an
-uninterrupted run (tests/test_resume.py).
+Each round lands as TWO atomic commits (replacing the reference's
+torn-write three-file checkpoint, ``crawler/discovery.py:123-155``):
+the frontier-loop tables (frontier/seen/discovered/bloom) commit
+first, then extracted+failures commit from a background thread that
+OVERLAPS the next round's dedupe/admit/link stages — extraction is
+embarrassingly parallel side-work that must not serialize the frontier
+loop (own FAIR scheduler pool; ``RoundConfig.async_extract=False``
+restores the single-commit round). A killed run resumes from the last
+committed snapshot (``load_checkpoint`` analog,
+``crawler/discovery.py:158-188``) and converges to the same final
+state as an uninterrupted run (tests/test_resume.py,
+tests/test_async_extract.py) — a crash between the two commits is
+healed by a lineage-driven catch-up pass before the loop.
 
 Per-round driver overhead is kept off the cluster:
 * empty-frontier / metrics / summary checks read manifest lineage row

@@ -389,7 +389,14 @@ def fetch_join(
             F.broadcast(hit_urls), "url_canon", "left_anti"
         ).withColumn("html", F.lit(None).cast("binary"))
         return hit.unionByName(miss)
-    return candidates.join(pages_proj, "url_canon", "left")
+    # 'shuffle' strategy = the round outgrew broadcast. Pin a merge
+    # join so the planner can never "helpfully" broadcast the corpus
+    # off a stats misestimate (fatal at 10^10 pages), and so a corpus
+    # BUCKETED on url (sources/tableio.write_bucketed_pages — the
+    # production layout) is consumed in place: only the round-sized
+    # candidate side exchanges into the corpus's bucketing
+    # (plan pinned by tests/test_bucketed_fetch.py).
+    return candidates.join(pages_proj.hint("merge"), "url_canon", "left")
 
 
 def _dedupe_frontier(frontier: DataFrame) -> DataFrame:

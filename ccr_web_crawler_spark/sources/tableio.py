@@ -245,3 +245,38 @@ class SnapshotStore:
         for p in sorted((self.root / "snapshots").glob("v*.json")):
             out.append(json.loads(p.read_text()))
         return out
+
+
+def write_bucketed_pages(
+    pages: DataFrame,
+    table: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the pages corpus as a BUCKETED table on ``url`` (the
+    production layout for a fetch-heavy corpus: Iceberg bucket
+    partition transform / Hive bucketing). A frontier join on
+    ``url_canon = url`` then co-locates WITHOUT shuffling the corpus —
+    only the round-sized candidate side exchanges into the corpus's
+    bucketing, which is the only join layout that survives a round too
+    big to broadcast at 10^10 pages (``RoundConfig.fetch_strategy
+    = 'shuffle'`` + bucketed pages; plan pinned by
+    tests/test_bucketed_fetch.py: exactly one Exchange, on the
+    candidate side). ``sortBy`` url keeps row-group stats tight for
+    the small-round In-pushdown path too. Returns the table read back.
+
+    Bucket metadata lives in the session catalog here (no external
+    metastore in the sandbox); on a real deployment the same layout is
+    an Iceberg ``bucket(N, url)`` partition spec.
+    """
+    spark = pages.sparkSession
+    writer = (
+        pages.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "url")
+        .sortBy("url")
+    )
+    if path is not None:
+        writer = writer.option("path", str(path))
+    writer.saveAsTable(table)
+    return spark.table(table)

@@ -44,6 +44,18 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
         ("anti-join present (LeftAnti)", lambda p: "LeftAnti" in p),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
+    "fetch_bucketed": [
+        # the production fetch layout for rounds too big to broadcast:
+        # the corpus is bucketed on url, so the join consumes its
+        # bucketing — only the round-sized candidate side exchanges
+        ("pages scan rides its bucketing (no corpus shuffle)",
+         lambda p: "Bucketed: true" in p),
+        ("exactly one hash exchange — the candidate side",
+         lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("join is keyed, never nested-loop/cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "exact_dedup_keep": [
         ("single shuffle on fingerprint (agg + join share the exchange or broadcast)",
          lambda p: "Exchange" in p),

@@ -23,7 +23,7 @@ recorded runs: scaling_bench.CHILD job, threads mode, cpuset pinning
 (engine levels get the +2-core driver headroom both levels always got;
 probe copies own exactly 4 cores each, as in host_capacity_probe.py).
 
-Usage: python scripts/samewindow_scaling.py [n_pages] [repeats]
+Usage: python scripts/samewindow_scaling.py [n_pages] [repeats] [lo] [hi]
 Writes SAMEWINDOW.json and folds the result into SCALING.json under
 "samewindow" so BENCH embeds it.
 """
@@ -41,14 +41,14 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 from scaling_bench import CHILD, run_level  # noqa: E402
 
 
-def run_probe(n_pages: int, n_copies: int = 4) -> dict:
-    """4 independent lo-level jobs, disjoint 4-core cpusets, concurrent.
+def run_probe(n_pages: int, lo: int = 4, n_copies: int = 4) -> dict:
+    """4 independent lo-level jobs, disjoint lo-core cpusets, concurrent.
     Same code path as scripts/host_capacity_probe.py."""
-    code = CHILD.format(repo=REPO, cpus=4, n_pages=n_pages, mode="threads")
+    code = CHILD.format(repo=REPO, cpus=lo, n_pages=n_pages, mode="threads")
     procs = []
     t0 = time.time()
     for i in range(n_copies):
-        cpuset = f"{4 * i}-{4 * i + 3}"
+        cpuset = f"{lo * i}-{lo * i + lo - 1}"
         procs.append(
             subprocess.Popen(
                 ["taskset", "-c", cpuset, sys.executable, "-c", code],
@@ -79,19 +79,21 @@ def run_probe(n_pages: int, n_copies: int = 4) -> dict:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    lo_n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    hi_n = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * lo_n
     t_start = time.time()
 
     log = lambda m: print(f"[samewindow] {m}", file=sys.stderr, flush=True)  # noqa: E731
 
-    lo = run_level(4, n_pages, "threads")
-    log(f"lo local[4]: {lo['pages_per_sec']} p/s (wall {lo['wall_s']}s)")
+    lo = run_level(lo_n, n_pages, "threads")
+    log(f"lo local[{lo_n}]: {lo['pages_per_sec']} p/s (wall {lo['wall_s']}s)")
 
     cycles = []
     for i in range(repeats):
-        hi = run_level(16, n_pages, "threads")
-        log(f"cycle {i} hi local[16]: {hi['pages_per_sec']} p/s "
+        hi = run_level(hi_n, n_pages, "threads")
+        log(f"cycle {i} hi local[{hi_n}]: {hi['pages_per_sec']} p/s "
             f"(wall {hi['wall_s']}s)")
-        probe = run_probe(n_pages)
+        probe = run_probe(n_pages, lo=lo_n)
         log(f"cycle {i} probe: {probe['aggregate_pps']} p/s aggregate "
             f"(wall {probe['probe_wall_s']}s)")
         cycles.append({
@@ -107,6 +109,7 @@ def main() -> None:
     doc = {
         "n_pages": n_pages,
         "repeats": repeats,
+        "levels": [lo_n, hi_n],
         "lo": lo,
         "cycles": cycles,
         "raw_efficiency_same_window": round(
@@ -139,11 +142,11 @@ def main() -> None:
             scaling = json.load(f)
         points = scaling.get("samewindow_points", [])
         prior = scaling.get("samewindow")
-        if isinstance(prior, dict) and not any(
-            p.get("n_pages") == prior.get("n_pages") for p in points
-        ):
+        def _k(p):
+            return (p.get("n_pages"), tuple(p.get("levels", [4, 16])))
+        if isinstance(prior, dict) and not any(_k(p) == _k(prior) for p in points):
             points.append(prior)
-        points = [p for p in points if p.get("n_pages") != n_pages] + [doc]
+        points = [p for p in points if _k(p) != _k(doc)] + [doc]
         scaling["samewindow_points"] = sorted(points, key=lambda p: p.get("n_pages", 0))
         scaling["samewindow"] = doc
         with open(spath, "w") as f:

@@ -177,7 +177,10 @@ def run_level(cpus: int, n_pages: int, mode: str = "threads") -> dict:
     cmd = ["taskset", "-c", f"0-{n_cores - 1}", sys.executable, "-c", code]
     last_log = None
     for attempt in range(2):  # local-cluster startup is occasionally flaky
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        # generous: the child synthesizes the corpus on the LEVEL's own
+        # cores before the timed crawl — at 120k pages on a 2-core lo
+        # level that prelude alone runs ~15 min
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=9000)
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
