@@ -773,6 +773,64 @@ FROM documents
 """
 
 
+def q_warc_ingest(spark, sf_dir):
+    """RAW WARC ingest (Content-Length framing, binary payloads —
+    sources/warc.read_warc): every payload is deliberately hostile to
+    delimiter splitting — the document text, then a literal CRLF CRLF
+    record terminator, then 16 raw md5 digest bytes (non-UTF-8). Only
+    spec-authoritative Content-Length framing reads these back; the
+    query proves it by returning hex(payload), which the DuckDB oracle
+    recomputes from the source table byte-for-byte. Byte-exact
+    round-trip of the raw bytes themselves is additionally pinned in
+    tests/test_warc.py::TestRawWarc. This is the archive format the
+    multimodal path (multimodal.py) consumes at production scale;
+    the reference's equivalent entry scan is the gzip JSONL ingest
+    (``indexer/ingest.py:45-50``). Fixture synthesis is harness-only
+    and bounded (sf0.01 documents ~500 rows collected once to render
+    the archive file); production reads pre-existing WARCs."""
+    import hashlib
+
+    from ccr_web_crawler_spark.sources.warc import read_warc, warc_record_bytes
+
+    rows = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="warc_ingest_")
+    path = os.path.join(tmp, "docs.warc.gz")
+    import gzip as _gzip
+
+    with _gzip.open(path, "wb") as f:
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            payload = (
+                (r["text"] or "").encode("utf-8")
+                + b"\r\n\r\n"
+                + hashlib.md5(f"warc:{r['doc_id']}".encode()).digest()
+            )
+            f.write(warc_record_bytes(
+                f"https://synth.example/doc/{r['doc_id']}", payload
+            ))
+    w = read_warc(spark, path)
+    return w.select(
+        "url", "rec_type", "content_type",
+        "content_length", F.hex("payload").alias("payload_hex"),
+    )
+
+
+_WARC_INGEST_SQL = """
+SELECT 'https://synth.example/doc/' || doc_id::VARCHAR AS url,
+  'response' AS rec_type,
+  'application/http' AS content_type,
+  CAST(octet_length(encode(coalesce(text, ''))) + 20 AS BIGINT)
+    AS content_length,
+  hex(encode(coalesce(text, ''))
+      || encode(chr(13) || chr(10) || chr(13) || chr(10))
+      || unhex(md5('warc:' || doc_id::VARCHAR))) AS payload_hex
+FROM documents
+"""
+
+
 def q_revisit_schedule(spark, sf_dir):
     """Freshness/recrawl scheduling: per-host oldest-first revisit
     slots over a deterministic synthetic fetch log (the synth corpus is
@@ -1825,6 +1883,27 @@ FROM embeddings WHERE vec_id < 8
 """
 
 
+def q_lsh_ann_planted_wide(spark, sf_dir):
+    """Second planted LSH configuration (VERDICT r4 ask #7): more,
+    narrower bands (n_bits=32, n_bands=8) and a different seed — the
+    self-query guarantee (identical vector shares every band, exact
+    re-rank at cosine 1.0) must hold at ANY banding, so the same SQL
+    oracle certifies a structurally different physical plan (8-way band
+    explosion instead of 4). Tightens the rows-only `lsh_ann` contract
+    from a second angle."""
+    items = _vecs(spark, sf_dir)
+    queries = items.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_ann(
+        queries, items, k=5, id_col="vec_id", vec_col="embedding",
+        dim=64, n_bits=32, n_bands=8, seed=11,
+    )
+    return out.filter(F.col("rank") == 1).select(
+        "q_id", F.col("vec_id").alias("nn_id"), "score"
+    )
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN (scale path #2 next to LSH): deterministic centroids,
     corpus bucketed by nearest centroid, search probes nprobe cells.
@@ -1873,6 +1952,30 @@ _IVF_ANN_PLANTED_SQL = """
 SELECT vec_id AS q_id, vec_id AS nn_id, 1.0 AS score
 FROM embeddings WHERE vec_id < 8
 """
+
+
+def q_ivf_ann_planted_wide(spark, sf_dir):
+    """Second planted IVF configuration (VERDICT r4 ask #7): a coarser
+    codebook (n_centroids=4) probed wider (nprobe=2) — self-queries
+    still route to their own centroid's cell at any codebook size, so
+    the same SQL oracle certifies a different cell geometry (4 big
+    cells vs 16 small). Tightens the rows-only `ivf_ann` contract."""
+    from ccr_web_crawler_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+
+    items = _vecs(spark, sf_dir)
+    cents = train_centroids(items, n_centroids=4)
+    index = build_ivf_index(items, cents)
+    queries = items.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_search(queries, index, cents, k=5, nprobe=2)
+    return out.filter(F.col("rank") == 1).select(
+        "q_id", F.col("vec_id").alias("nn_id"), "score"
+    )
 
 
 # --- crawl-engine primitives cross-checked relationally (SURVEY §2.4/2.5)
@@ -1988,6 +2091,60 @@ SELECT doc_id, source AS host,
   (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
     * (CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END)::DOUBLE AS fetch_ts
 FROM documents
+"""
+
+
+def q_politeness_lag(spark, sf_dir):
+    """SURVEY §2.7 / north_star lag-window invariant AS a certified
+    query: over a full per-host fetch schedule,
+    ``fetch_ts - lag(fetch_ts) OVER (PARTITION BY host ORDER BY
+    fetch_ts) >= crawl_delay`` must hold everywhere — the checker
+    (``operators.politeness.politeness_violations``) returns the
+    violating rows and this query reports them per host (all zeros)
+    alongside the schedule totals, so the oracle independently replays
+    the window check rather than asserting a constant."""
+    from ccr_web_crawler_spark.operators.politeness import (
+        assign_fetch_slots,
+        politeness_violations,
+    )
+
+    sched = assign_fetch_slots(_frontierish(spark, sf_dir), round_start=0.0)
+    viol = politeness_violations(sched).groupBy("host").agg(
+        F.count("*").alias("v")
+    )
+    return (
+        sched.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_scheduled"),
+            F.max("fetch_ts").alias("makespan"),
+        )
+        .join(viol, "host", "left")
+        .select(
+            "host",
+            "n_scheduled",
+            F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("n_violations"),
+            "makespan",
+        )
+    )
+
+
+_POLITENESS_LAG_SQL = """
+WITH s AS (
+  SELECT source AS host,
+    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+      * (CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END)::DOUBLE AS fetch_ts,
+    (CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END)::DOUBLE AS crawl_delay
+  FROM documents
+), g AS (
+  SELECT host, fetch_ts, crawl_delay,
+    fetch_ts - lag(fetch_ts) OVER (PARTITION BY host ORDER BY fetch_ts) AS gap
+  FROM s
+)
+SELECT host, COUNT(*)::BIGINT AS n_scheduled,
+  COALESCE(SUM(CASE WHEN gap IS NOT NULL AND gap < crawl_delay
+                    THEN 1 ELSE 0 END), 0)::BIGINT AS n_violations,
+  MAX(fetch_ts) AS makespan
+FROM g GROUP BY host
 """
 
 
@@ -2362,14 +2519,15 @@ _CRAWL_N_PAGES, _CRAWL_N_HOSTS = 120, 4
 _SYNTH_PAGES_CACHE: dict = {}
 
 
-def _crawl_pages(spark):
+def _crawl_pages(spark, n_pages: int = _CRAWL_N_PAGES,
+                 n_hosts: int = _CRAWL_N_HOSTS):
     from ccr_web_crawler_spark.sources.synth import synth_pages
 
-    key = (id(spark.sparkContext), _CRAWL_N_PAGES, _CRAWL_N_HOSTS)
+    key = (id(spark.sparkContext), n_pages, n_hosts)
     df = _SYNTH_PAGES_CACHE.get(key)
     if df is None:
         df = synth_pages(
-            spark, n_pages=_CRAWL_N_PAGES, n_hosts=_CRAWL_N_HOSTS
+            spark, n_pages=n_pages, n_hosts=n_hosts
         ).localCheckpoint(eager=True)
         _SYNTH_PAGES_CACHE[key] = df
     return df
@@ -2601,6 +2759,13 @@ def q_crawl_backlog(spark, sf_dir):
     return spark.createDataFrame(seen_rows, "url_canon string")
 
 
+# the backlog queries crawl their OWN smaller planted site (60 pages vs
+# the shared 120-page corpus): backlog semantics — demotion to cold,
+# per-round refill, lossless drain — are size-independent (cold backlog
+# still forms: 3 demotions over 4 rounds), and the driver's correctness
+# run pays ~1 crawl round less (VERDICT r4 ask #1: make the suite fit
+# the run budget, don't just reorder).
+_BACKLOG_N_PAGES = 60
 _BACKLOG_CRAWL_CACHE: dict = {}
 
 
@@ -2618,7 +2783,7 @@ def _run_backlog_crawl(spark):
     from ccr_web_crawler_spark.sources.synth import synth_seeds
     from ccr_web_crawler_spark.sources.tableio import SnapshotStore
 
-    pages = _crawl_pages(spark)
+    pages = _crawl_pages(spark, n_pages=_BACKLOG_N_PAGES)
     with tempfile.TemporaryDirectory() as tmp:
         store = SnapshotStore(os.path.join(tmp, "bk"))
         summary = crawl(
@@ -2658,7 +2823,7 @@ def _crawl_backlog_drain_oracle_sql() -> str:
     from ccr_web_crawler_spark.functions.htmlx.links import extract_links
     from collections import deque
 
-    site = _py_site()
+    site = _py_site(_BACKLOG_N_PAGES)
     queue = deque(["https://host0.example/calregs/Index"])
     visited: set[str] = set()
     while queue:
@@ -2679,14 +2844,15 @@ def _crawl_backlog_drain_oracle_sql() -> str:
 
 
 def _crawl_backlog_oracle_sql() -> str:
-    """BFS reachability (visited nav set) over the 120-page planted
-    graph — the reference loop with MAX_CONCURRENT=1; budgets reorder
-    but must not change the set (``crawler/discovery.py:275-299``)."""
+    """BFS reachability (visited nav set) over the backlog queries'
+    60-page planted graph — the reference loop with MAX_CONCURRENT=1;
+    budgets reorder but must not change the set
+    (``crawler/discovery.py:275-299``)."""
     from collections import deque
 
     from ccr_web_crawler_spark.functions.htmlx.links import extract_links
 
-    site = _py_site()
+    site = _py_site(_BACKLOG_N_PAGES)
     queue = deque(["https://host0.example/calregs/Index"])
     visited: set[str] = set()
     while queue:
@@ -2827,12 +2993,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order IS the driver's execution order, and its r3/r4
+    # runs were both truncated. Risk-first rotation (VERDICT r4 ask #1):
+    # (1) queries whose code changed without a fresh certificate, (2)
+    # queries that have NEVER been driver-certified (new this round or
+    # cut from r04), (3) the heavyweight crawl/multimodal end-to-end
+    # block, (4) the long-certified cheap tail. Every tier is also
+    # internally cheap-first so a truncation loses the least evidence.
     return {
-        # crawl end-to-end + multimodal FIRST: these are the slowest
-        # rows (each builds/uses the shared synthetic corpus), and round
-        # 3's driver run was cut off before reaching them at the tail —
-        # registration order is execution order, so the queries most at
-        # risk of a truncated run now certify first.
+        # -- tier 1: changed code, stale certificate (weak x4 in r4)
+        "wet_ingest": q_wet_ingest,
+        "seen_antijoin": q_seen_antijoin,
+        "robots_filter": q_robots_filter,
+        "retry_requeue": q_retry_requeue,
+        # -- tier 2a: new this round, never certified
+        "warc_ingest": q_warc_ingest,
+        "politeness_lag": q_politeness_lag,
+        "lsh_ann_planted_wide": q_lsh_ann_planted_wide,
+        "ivf_ann_planted_wide": q_ivf_ann_planted_wide,
+        # -- tier 2b: cut from the truncated r04 run (green r03)
+        "url_canonicalize": q_url_canonicalize,
+        "global_seq": q_global_seq,
+        "politeness_admit": q_politeness_admit,
+        "politeness_slots": q_politeness_slots,
+        "context_assembly": q_context_assembly,
+        "validate_report": q_validate_report,
+        "index_meta": q_index_meta,
+        "json_props": q_json_props,
+        "jsonl_gz_ingest": q_jsonl_gz_ingest,
+        "build_index": q_build_index,
+        "admit_stream": q_admit_stream,
+        "lsh_ann": q_lsh_ann,
+        "lsh_ann_planted": q_lsh_ann_planted,
+        "ivf_ann": q_ivf_ann,
+        "ivf_ann_planted": q_ivf_ann_planted,
+        # -- tier 3: crawl end-to-end + multimodal (the slow block —
+        #    shared synthetic corpora, cached once per session)
         "crawl_round0": q_crawl_round0,
         "crawl_extracted": q_crawl_extracted,
         "crawl_backlog": q_crawl_backlog,
@@ -2840,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_bucketed": q_fetch_bucketed,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # -- tier 4: certified green in r04, code unchanged
         # relational core
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2889,28 +3086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
-        "lsh_ann": q_lsh_ann,
-        "lsh_ann_planted": q_lsh_ann_planted,
-        "ivf_ann": q_ivf_ann,
-        "ivf_ann_planted": q_ivf_ann_planted,
-        # crawl primitives
-        "url_canonicalize": q_url_canonicalize,
-        "seen_antijoin": q_seen_antijoin,
-        "global_seq": q_global_seq,
-        "robots_filter": q_robots_filter,
-        "politeness_admit": q_politeness_admit,
-        "politeness_slots": q_politeness_slots,
-        "retry_requeue": q_retry_requeue,
-        "context_assembly": q_context_assembly,
-        "validate_report": q_validate_report,
-        "index_meta": q_index_meta,
-        # JSON ingest
-        "json_props": q_json_props,
-        "jsonl_gz_ingest": q_jsonl_gz_ingest,
-        "wet_ingest": q_wet_ingest,
-        "build_index": q_build_index,
-        # streaming admission (batch form of the stateful operator)
-        "admit_stream": q_admit_stream,
     }
 
 
@@ -2972,6 +3147,10 @@ def oracle_sql() -> dict[str, str]:
         "json_props": _JSON_PROPS_SQL,
         "jsonl_gz_ingest": _JSONL_GZ_SQL,
         "wet_ingest": _WET_INGEST_SQL,
+        "warc_ingest": _WARC_INGEST_SQL,
+        "politeness_lag": _POLITENESS_LAG_SQL,
+        "lsh_ann_planted_wide": _LSH_ANN_PLANTED_SQL,
+        "ivf_ann_planted_wide": _IVF_ANN_PLANTED_SQL,
         "build_index": _BUILD_INDEX_SQL,
         "admit_stream": _ADMIT_STREAM_SQL,
         "crawl_round0": _crawl_round0_oracle_sql(),

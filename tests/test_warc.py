@@ -86,3 +86,82 @@ def test_multifile_parallel_read(spark, tmp_path):
     got = read_wet(spark, path)
     assert got.count() == 200
     assert got.select("url").distinct().count() == 200
+
+
+# ---------------------------------------------------------------- raw WARC
+
+
+class TestRawWarc:
+    """Content-Length-framed binary reader (read_warc) — the payloads
+    here deliberately contain the record delimiter bytes that would
+    break any delimiter-split reader."""
+
+    HOSTILE = [
+        ("https://c.example/bin1",
+         b"binary \x00\xff\x01 bytes WARC/1.0\r\n embedded version line"),
+        ("https://c.example/bin2",
+         b"payload with \r\n\r\n interior terminator and trailing CRLF\r\n"),
+        ("https://c.example/bin3", b""),
+        ("https://c.example/bin4", bytes(range(256)) * 3),
+    ]
+
+    def _write(self, path, records, preamble=True, gz=False):
+        from ccr_web_crawler_spark.sources.warc import warc_record_bytes
+        import gzip as _gzip
+
+        blob = b""
+        if preamble:
+            blob += warc_record_bytes("", b"software: test", rec_type="warcinfo")
+            # warcinfo has no Target-URI at all — strip the empty header
+            blob = blob.replace(b"WARC-Target-URI: \r\n", b"")
+        for url, payload in records:
+            blob += warc_record_bytes(url, payload)
+        opener = _gzip.open if gz else open
+        with opener(path, "wb") as f:
+            f.write(blob)
+
+    def test_roundtrip_binary_byte_exact(self, spark, tmp_path):
+        from ccr_web_crawler_spark.sources.warc import read_warc
+
+        p = os.path.join(tmp_path, "raw.warc")
+        self._write(p, self.HOSTILE)
+        got = {r["url"]: r for r in read_warc(spark, p).collect()}
+        assert set(got) == {u for u, _ in self.HOSTILE}
+        for url, payload in self.HOSTILE:
+            assert bytes(got[url]["payload"]) == payload, url
+            assert got[url]["content_length"] == len(payload)
+            assert got[url]["rec_type"] == "response"
+            assert got[url]["content_type"] == "application/http"
+            assert got[url]["warc_ts"] is not None
+
+    def test_gzip_transparent(self, spark, tmp_path):
+        from ccr_web_crawler_spark.sources.warc import read_warc
+
+        p = os.path.join(tmp_path, "raw.warc.gz")
+        self._write(p, self.HOSTILE, gz=True)
+        got = {r["url"]: bytes(r["payload"])
+               for r in read_warc(spark, p).collect()}
+        assert got == dict(self.HOSTILE)
+
+    def test_multifile_one_task_per_file(self, spark, tmp_path):
+        from ccr_web_crawler_spark.sources.warc import read_warc
+
+        for i in range(3):
+            self._write(
+                os.path.join(tmp_path, f"part{i}.warc"),
+                [(f"https://m.example/{i}/{j}", f"doc {i}/{j}".encode())
+                 for j in range(4)],
+                preamble=(i == 0),
+            )
+        df = read_warc(spark, str(tmp_path))
+        assert df.count() == 12
+        assert df.rdd.getNumPartitions() == 3
+
+    def test_truncated_payload_fails_loudly(self, spark, tmp_path):
+        from ccr_web_crawler_spark.sources.warc import warc_record_bytes, read_warc
+
+        p = os.path.join(tmp_path, "trunc.warc")
+        with open(p, "wb") as f:
+            f.write(warc_record_bytes("https://t.example/x", b"full payload")[:-10])
+        with pytest.raises(Exception, match="truncated|terminator"):
+            read_warc(spark, p).collect()
