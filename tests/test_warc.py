@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from ccr_web_crawler_spark.sources.warc import read_wet, write_wet
 
@@ -165,3 +166,39 @@ class TestRawWarc:
             f.write(warc_record_bytes("https://t.example/x", b"full payload")[:-10])
         with pytest.raises(Exception, match="truncated|terminator"):
             read_warc(spark, p).collect()
+
+
+def test_raw_warc_feeds_multimodal_features(spark, tmp_path):
+    """End-to-end production ingest shape: binary media payloads inside
+    raw WARC `response` records → read_warc (Content-Length framing) →
+    image_features (mapInPandas decode). Pins that the WARC payload
+    column is binary-compatible with the multimodal path and that
+    features are computed over the EXACT archived bytes (same sha-seeded
+    fake decode ⇒ same features as feeding the original payloads)."""
+    from ccr_web_crawler_spark.multimodal import image_features, synth_media
+    from ccr_web_crawler_spark.sources.warc import read_warc, warc_record_bytes
+
+    media = synth_media(spark, n=12).collect()
+    p = os.path.join(tmp_path, "media.warc.gz")
+    import gzip as _gzip
+
+    with _gzip.open(p, "wb") as f:
+        for r in media:
+            f.write(warc_record_bytes(
+                f"https://img.example/{r['media_id']}", bytes(r["payload"]),
+                content_type="image/png",
+            ))
+
+    ingested = read_warc(spark, p).select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("media_id"),
+        "payload",
+    )
+    got = {r["media_id"]: r["features"]
+           for r in image_features(ingested).collect()}
+    direct_df = spark.createDataFrame(
+        [(r["media_id"], r["payload"]) for r in media],
+        "media_id long, payload binary",
+    )
+    want = {r["media_id"]: r["features"]
+            for r in image_features(direct_df).collect()}
+    assert got == want and len(got) == 12
