@@ -160,7 +160,8 @@ def _parse_warc_stream(f, src: str) -> Iterator[dict]:
         }
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              from_content: bool = False) -> DataFrame:
     """Raw-WARC reader: spec-authoritative Content-Length framing over
     binary payloads — the input format the multimodal path consumes at
     production scale (image/audio bytes inside ``response`` records
@@ -181,45 +182,71 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     * records without ``WARC-Target-URI`` (the ``warcinfo`` preamble)
       are dropped, mirroring ``read_wet``.
 
-    Local/file: URIs are opened directly (gzip-transparent for
-    ``.gz``); remote stores mount through the same path via a
-    FUSE/fsspec shim in production deployments.
+    Two IO modes:
+
+    * default (``from_content=False``): the task opens the file path
+      directly and STREAMS it — O(batch) memory regardless of file
+      size. Local/``file:`` URIs open natively (gzip-transparent for
+      ``.gz``); remote stores mount through the same path via a
+      FUSE/fsspec shim in production deployments.
+    * ``from_content=True``: parse the ``binaryFile`` source's
+      ``content`` column instead — works on ANY Hadoop-supported
+      filesystem (s3a/hdfs/abfs) with no shim, at the cost of
+      materializing one whole file per row (binaryFile's own framing;
+      cap file size via ``spark.sql.files.maxPartitionBytes``-style
+      ingest hygiene). Record parsing and output are identical.
     """
-    files = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path")
-    )
+    cols = ["url", "warc_ts", "rec_type", "content_type",
+            "content_length", "payload"]
+
+    def _flush(rows: list[dict]) -> pd.DataFrame:
+        out = pd.DataFrame(rows, columns=cols)
+        out["warc_ts"] = pd.to_datetime(
+            out["warc_ts"], utc=True).dt.tz_localize(None)
+        return out
+
+    def _emit(stream, src: str) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        nbytes = 0
+        for rec in _parse_warc_stream(stream, src):
+            if not rec["url"]:
+                continue
+            rows.append(rec)
+            nbytes += rec["content_length"]
+            if len(rows) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
+                yield _flush(rows)
+                rows, nbytes = [], 0
+        if rows:
+            yield _flush(rows)
+
+    if from_content:
+        files = spark.read.format("binaryFile").load(path)
+
+        def parse_content(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for p, blob in zip(pdf["path"], pdf["content"]):
+                    raw = bytes(blob)
+                    if p.endswith(".gz"):
+                        raw = gzip.decompress(raw)
+                    yield from _emit(io.BufferedReader(io.BytesIO(raw)),
+                                     os.path.basename(p))
+
+        return files.select("path", "content").mapInPandas(
+            parse_content, _WARC_SCHEMA
+        )
+
+    files = spark.read.format("binaryFile").load(path).select("path")
     n_files = files.count()
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "rec_type", "content_type",
-                "content_length", "payload"]
         for pdf in batches:
             for p in pdf["path"]:
                 local = p[len("file:"):] if p.startswith("file:") else p
                 opener = gzip.open if local.endswith(".gz") else open
-                rows: list[dict] = []
-                nbytes = 0
                 with opener(local, "rb") as fh:
-                    stream = io.BufferedReader(fh) if not isinstance(
-                        fh, io.BufferedReader) else fh
-                    for rec in _parse_warc_stream(stream, os.path.basename(local)):
-                        if not rec["url"]:
-                            continue
-                        rows.append(rec)
-                        nbytes += rec["content_length"]
-                        if len(rows) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
-                            out = pd.DataFrame(rows, columns=cols)
-                            out["warc_ts"] = pd.to_datetime(
-                                out["warc_ts"], utc=True).dt.tz_localize(None)
-                            yield out
-                            rows, nbytes = [], 0
-                if rows:
-                    out = pd.DataFrame(rows, columns=cols)
-                    out["warc_ts"] = pd.to_datetime(
-                        out["warc_ts"], utc=True).dt.tz_localize(None)
-                    yield out
+                    stream = fh if isinstance(fh, io.BufferedReader) \
+                        else io.BufferedReader(fh)
+                    yield from _emit(stream, os.path.basename(local))
 
     return files.repartition(max(n_files, 1)).mapInPandas(parse, _WARC_SCHEMA)
 

@@ -212,6 +212,25 @@ CHECKS: dict[str, list[tuple[str, object]]] = {
          lambda p: "Exchange" not in p),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
+    "warc_ingest": [
+        # raw WARC = Content-Length-framed binary records: file-level
+        # parallelism, streamed through one Arrow-batched mapInPandas
+        ("record parse is a streaming MapInPandas (binary framing needs "
+         "byte-level IO), never row-at-a-time python",
+         lambda p: "BatchEvalPython" not in p and "MapInPandas" in p),
+        ("only exchange is the round-robin file-to-task spread — parsed "
+         "record data never hash/range-shuffles",
+         lambda p: "Exchange hashpartitioning" not in p
+         and "Exchange rangepartitioning" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "politeness_lag": [
+        ("lag check rides the per-host window — no global window",
+         lambda p: "Window" in p),
+        ("partial aggregation before the exchange",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
     "pii_scrub": [
         ("regexp algebra stays JVM-side — no python UDF",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),

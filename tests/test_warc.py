@@ -202,3 +202,28 @@ def test_raw_warc_feeds_multimodal_features(spark, tmp_path):
     want = {r["media_id"]: r["features"]
             for r in image_features(direct_df).collect()}
     assert got == want and len(got) == 12
+
+
+def test_raw_warc_from_content_mode_parity(spark, tmp_path):
+    """from_content=True (any-Hadoop-FS path) must produce exactly the
+    rows of the streaming default, gzip included."""
+    from ccr_web_crawler_spark.sources.warc import read_warc, warc_record_bytes
+    import gzip as _gzip
+
+    recs = [(f"https://p.example/{i}",
+             (f"doc {i} ".encode() + bytes([i]) * 5)) for i in range(6)]
+    for name, gz in (("a.warc", False), ("b.warc.gz", True)):
+        blob = b"".join(warc_record_bytes(u, p) for u, p in recs)
+        opener = _gzip.open if gz else open
+        with opener(os.path.join(tmp_path, name), "wb") as f:
+            f.write(blob)
+
+    def snap(df):
+        return sorted(
+            (r["url"], bytes(r["payload"]), r["content_length"], r["rec_type"])
+            for r in df.collect()
+        )
+
+    stream = snap(read_warc(spark, str(tmp_path)))
+    content = snap(read_warc(spark, str(tmp_path), from_content=True))
+    assert stream == content and len(stream) == 12
