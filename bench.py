@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "token_budget_sample",
     "stratified_sample",
     "wet_ingest",
+    "warc_ingest",
+    "politeness_lag",
     "pii_scrub",
     "line_dedup",
     "doc_chunks",
