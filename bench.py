@@ -285,7 +285,7 @@ def main() -> None:
     crawl_stats = bench_crawl(spark, sf, cpus)
     log(f"[bench] crawl: {crawl_stats}")
 
-    qs = entrymod.queries()
+    qs = entrymod.queries_all()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

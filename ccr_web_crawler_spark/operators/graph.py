@@ -83,6 +83,7 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank with uniform teleport and dangling-mass redistribution:
 
@@ -103,12 +104,22 @@ def pagerank(
     ranks = _next_gen(
         nodes.crossJoin(n1).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         # _next_gen materializes the new generation (both uses of the
         # previous one — contrib + dangling — read its checkpoint
         # blocks) and cuts the plan, so the loop's plan/lineage cost is
-        # O(1) per iteration instead of doubling
-        ranks = _next_gen(_pagerank_step(e, nodes, outdeg, n1, ranks, damping))
+        # O(1) per iteration instead of doubling. ``checkpoint_every``
+        # trades that per-iteration materialization barrier against
+        # plan growth: between pins the plan doubles per iteration
+        # (ranks is read twice per step), so k unpinned iterations cost
+        # a 2^k plan tree — fine for small fixed n_iter (the VERDICT-r4
+        # fixed-iteration mode: fewer driver barriers, same bit-exact
+        # decimal result), ruinous for convergence-loop use; the final
+        # iteration always materializes so callers get a scan leaf.
+        ranks_next = _pagerank_step(e, nodes, outdeg, n1, ranks, damping)
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks_next = _next_gen(ranks_next)
+        ranks = ranks_next
     out = ranks.select("id", F.col("r").alias("rank"))
     nodes.unpersist()
     outdeg.unpersist()

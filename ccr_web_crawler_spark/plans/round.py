@@ -519,6 +519,13 @@ def run_round(
             offset=base,
             num_partitions=cfg.seq_partitions,
         )
+        # eager: sequenced feeds up to four committed tables (frontier,
+        # discovered, and in backlog mode demoted + bound). Without this
+        # pin each commit write re-runs the sequencing mapInPandas (an
+        # Arrow python stage) plus everything above it per consumer; the
+        # relation is round-sized, so the one materialization is cheap
+        # at any scale and the driver's per-round fixed floor drops.
+        sequenced = sequenced.localCheckpoint(eager=True)
 
     nav_new = sequenced.filter(F.col("kind") == 0).select(
         "url_canon",

@@ -69,7 +69,10 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if os.environ.get("SPARK_GRAFT_CHECK_ALL") == "1":
+        qs, oracles = entrymod.queries_all(), entrymod.oracle_sql_all()
+    else:  # default: exactly what the external driver replays
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -514,7 +514,7 @@ def main() -> None:
     spark = get_spark(app_name="explain_audit", master="local[4]",
                       shuffle_partitions=8, task_cpus=1)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = entrymod.queries_all()
     lines = [
         "# PLANS — physical-plan audit (`scripts/explain_audit.py`)",
         "",

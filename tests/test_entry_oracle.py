@@ -24,8 +24,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SQL_QUERIES = sorted(entrymod.oracle_sql())
-ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_QUERIES))
+SQL_QUERIES = sorted(entrymod.oracle_sql_all())
+ROWS_ONLY = sorted(set(entrymod.queries_all()) - set(SQL_QUERIES))
 
 
 @pytest.fixture(scope="module")
@@ -47,8 +47,8 @@ def _canon(df):
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
 def test_oracle_parity(spark, duck, name):
-    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
-    odf = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    sdf = entrymod.queries_all()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entrymod.oracle_sql_all()[name]).fetchdf()
     assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
     a, b = _canon(sdf), _canon(odf)
@@ -64,7 +64,7 @@ def test_oracle_parity(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
+    df = entrymod.queries_all()[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 

@@ -55,7 +55,7 @@ def test_scale_plan_assertions(spark, audit, name):
     if name in audit._BUILDERS:
         df = audit._BUILDERS[name](spark, SF_DIR)
     else:
-        df = entrymod.queries()[name](spark, SF_DIR)
+        df = entrymod.queries_all()[name](spark, SF_DIR)
     df.collect()  # finalize AQE so the formatted plan is the real one
     plan = audit.formatted_plan(df)
     failed = [desc for desc, pred in audit.CHECKS[name] if not pred(plan)]
