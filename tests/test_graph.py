@@ -28,6 +28,18 @@ def test_pagerank_dangling_mass_conserved(spark):
     assert math.isclose(sum(r3.values()), 1.0, rel_tol=1e-12)
 
 
+def test_pagerank_fixed_iter_mode_bitwise_equal(spark):
+    # checkpoint_every > 1 (the fixed-iteration mode: fewer driver
+    # materialization barriers, plan doubles between pins) must be
+    # BIT-identical to the per-iteration default — decimal accumulation
+    # makes the arithmetic order-independent, so only the physical
+    # checkpoint cadence differs
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    per_iter = _ranks(spark, edges, n_iter=4, checkpoint_every=1)
+    pinned_late = _ranks(spark, edges, n_iter=4, checkpoint_every=4)
+    assert per_iter == pinned_late
+
+
 def test_pagerank_sink_attracts_rank(spark):
     # 1→3, 2→3, 3→1: node 3 collects the most rank
     r = _ranks(spark, [(1, 3), (2, 3), (3, 1)], n_iter=5)
